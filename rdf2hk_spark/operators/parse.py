@@ -1,0 +1,445 @@
+"""RDF quads DataFrame → Hyperknowledge entities DataFrame.
+
+Distributed re-expression of the reference's three-pass, single-threaded parse
+pipeline (/root/reference/parser.js:55-397, operators A1-A7 in SURVEY.md §2.3).
+The reference mutates shared dicts in stream order; we reproduce its
+insertion-order ("first occurrence wins") semantics with an explicit
+``stmt_idx`` column + ``min_by`` discipline, so the result is identical on any
+partitioning / any degree of parallelism.
+
+Input quads schema::
+
+    stmt_idx: long   — 0-based source order (dense per input graph)
+    s, p, o, g: string — string-encoded terms (SURVEY.md §1.1)
+
+Output entities schema (ENTITY_SCHEMA below) — one row per HK entity.
+
+Scale notes (100 TB design):
+- every join against ``connectors``/``contexts`` is broadcast (they are
+  O(#predicates) / O(#graphs), tiny relative to quads);
+- the only wide shuffles are the A3 node groupBy and the A5 property groupBy,
+  both keyed on entity id; hot-entity skew there is handled by AQE skew
+  splitting plus the two-phase salted aggregate in ``properties`` (partial
+  map-side combine happens automatically for min_by; collect_list order is
+  restored by sort_array so partial aggregation stays safe);
+- no driver-side loops, no row-at-a-time Python anywhere.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from rdf2hk_spark import constants as C
+from rdf2hk_spark.functions import terms as T
+
+# Entities DataFrame columns (FIXTURES.md §2)
+ENTITY_COLUMNS = [
+    "id",
+    "type",
+    "parent",
+    "connector",
+    "ref",
+    "className",
+    "roles",
+    "binds",
+    "properties",
+    "metaProperties",
+    "interfaces",
+]
+
+ENTITY_SCHEMA = (
+    "id string, type string, parent string, connector string, ref string,"
+    " className string, roles map<string,string>,"
+    " binds array<struct<role:string, comp:string, anchor:string>>,"
+    " properties map<string,array<string>>,"
+    " metaProperties map<string,array<string>>,"
+    " interfaces map<string,struct<type:string, key:string,"
+    " properties:map<string,string>>>"
+)
+
+
+@dataclass
+class ParseOptions:
+    """Mirrors parser.js option normalization (parser.js:57-97)."""
+
+    create_context: bool = False
+    namespace_context: bool = False
+    set_node_context: bool = False
+    root_context: str | None = None  # options.context
+    strategy: str | None = None
+    preserve_blank_nodes: bool = False
+    only_hk: bool = False
+    convert_hk: bool = False
+    text_literal_as_node: bool = False
+    text_literal_as_node_encoding: str = "metaproperty"
+    subject_label: str = C.DEFAULT_SUBJECT_ROLE
+    object_label: str = C.DEFAULT_OBJECT_ROLE
+    hierarchy_connector_ids: list[str] = field(
+        default_factory=lambda: list(C.DEFAULT_HIERARCHY_CONNECTOR_IDS)
+    )
+    # deterministic replacement for parser.js:197-208 uuid blank-node remap:
+    # name of a column used as per-document salt; None = global constant salt
+    blank_node_salt_col: str | None = None
+
+    def __post_init__(self) -> None:
+        if self.namespace_context:
+            self.create_context = True
+
+
+def _get_parent(opts: ParseOptions, s: Column, g: Column) -> Column:
+    """parser.js:119-127 — the parent (named graph) of a statement."""
+    base = g
+    if opts.root_context is not None:
+        base = F.when(
+            (g == C.HK_NULL_URI) | g.isNull(), F.lit(opts.root_context)
+        ).otherwise(g)
+    if opts.namespace_context:
+        ns = F.concat(
+            F.lit("<"),
+            F.regexp_replace(F.split_part(s, F.lit("#"), F.lit(1)), "^<", ""),
+            F.lit(">"),
+        )
+        return F.when(s.contains("#"), ns).otherwise(base)
+    return base
+
+
+def _with_parse_columns(quads: DataFrame, opts: ParseOptions) -> DataFrame:
+    """Annotate quads with parent / mapped terms / term-kind flags."""
+    q = quads
+    parent = _get_parent(opts, F.col("s"), F.col("g"))
+    q = q.withColumn("parent", parent)
+    q = q.withColumn("parent_id", T.id_from_resource("parent"))
+    # deterministic blank-node remap (P10); link ids keep the ORIGINAL terms
+    # (parser.js:302 uses un-remapped s/o) while binds/properties use the
+    # remapped ones (parser.js:288,295,319-322)
+    if opts.preserve_blank_nodes:
+        q = q.withColumn("s_m", F.col("s")).withColumn("o_m", F.col("o"))
+    else:
+        salt = (
+            F.col(opts.blank_node_salt_col)
+            if opts.blank_node_salt_col
+            else F.lit("hkbn")
+        )
+        q = q.withColumn(
+            "s_m",
+            F.when(
+                T.is_blank_node("s"), T.deterministic_blank_node(F.col("s"), salt)
+            ).otherwise(F.col("s")),
+        ).withColumn(
+            "o_m",
+            F.when(
+                T.is_blank_node("o"), T.deterministic_blank_node(F.col("o"), salt)
+            ).otherwise(F.col("o")),
+        )
+    q = q.withColumn("o_is_res", T.is_uri_or_blank_node("o"))
+    q = q.withColumn("subject_id", T.id_from_resource("s_m"))
+    q = q.withColumn("object_id", T.id_from_resource("o_m"))
+    return q
+
+
+def collect_connectors(q: DataFrame, opts: ParseOptions) -> DataFrame:
+    """A1 (parser.js:160-174): one Connector per distinct predicate id of
+    resource-object statements; className from the *first* predicate string
+    that minted the id (dict first-wins ⇒ min_by stmt_idx)."""
+    cand = (
+        q.filter(T.is_uri("p") & F.col("o_is_res"))
+        .select(T.id_from_resource("p").alias("id"), "p", "stmt_idx")
+        .groupBy("id")
+        .agg(F.min_by("p", "stmt_idx").alias("p0"))
+    )
+    return cand.select(
+        "id",
+        F.when(F.col("p0").isin(opts.hierarchy_connector_ids), C.HIERARCHY)
+        .otherwise(C.FACTS)
+        .alias("className"),
+    )
+
+
+def collect_contexts(q: DataFrame, opts: ParseOptions) -> DataFrame:
+    """A2 (parser.js:176-186): distinct non-null, non-default parents."""
+    if not opts.create_context:
+        return q.sparkSession.createDataFrame([], "id string")
+    cond = F.col("parent").isNotNull() & (F.col("parent") != C.HK_NULL_URI)
+    if opts.strategy == "pre-existing-context" and opts.root_context is not None:
+        cond = cond & (F.col("parent") != opts.root_context)
+    return q.filter(cond).select(F.col("parent").alias("id")).distinct()
+
+
+def collect_nodes(
+    q: DataFrame, opts: ParseOptions, taken_ids: DataFrame
+) -> DataFrame:
+    """A3 (parser.js:191-251): distinct subjects ∪ resource objects → Node,
+    first occurrence wins (subject position before object within a statement);
+    parent = graph id only under setNodeContext (object occurrences null the
+    parent when it would equal the node's own id, parser.js:247)."""
+    subj = q.filter(T.is_uri_or_blank_node("s")).select(
+        F.col("subject_id").alias("id"),
+        "parent_id",
+        "stmt_idx",
+        F.lit(0).alias("pos"),
+    )
+    obj = q.filter(F.col("o_is_res")).select(
+        F.col("object_id").alias("id"),
+        F.when(F.col("parent_id") != F.col("object_id"), F.col("parent_id")).alias(
+            "parent_id"
+        ),
+        "stmt_idx",
+        F.lit(1).alias("pos"),
+    )
+    occ = subj.unionByName(obj)
+    if opts.set_node_context:
+        parent_expr = F.col("first.parent_id")
+    else:
+        parent_expr = F.lit(None).cast("string")
+    nodes = (
+        occ.groupBy("id")
+        .agg(
+            F.min_by(
+                F.struct("parent_id"), F.struct("stmt_idx", "pos")
+            ).alias("first")
+        )
+        .select("id", parent_expr.alias("parent"))
+    )
+    # ids already claimed by connectors/contexts in pass 1 (parser.js:221,236)
+    return nodes.join(F.broadcast(taken_ids), "id", "left_anti")
+
+
+def create_links(q: DataFrame, opts: ParseOptions, connectors: DataFrame) -> DataFrame:
+    """A4 (parser.js:270-311): one Link per resource-object statement whose
+    predicate minted a connector; id = md5(s+p+o+parent) over raw terms."""
+    res = q.filter(F.col("o_is_res")).withColumn(
+        "connector_id", T.id_from_resource("p")
+    )
+    res = res.join(
+        F.broadcast(connectors.select(F.col("id").alias("connector_id"))),
+        "connector_id",
+        "left_semi",
+    )
+    links = res.select(
+        T.create_spo_uri(F.col("s"), F.col("p"), F.col("o"), F.col("parent")).alias(
+            "id"
+        ),
+        F.col("connector_id").alias("connector"),
+        F.col("parent_id").alias("parent"),
+        F.array(
+            F.struct(
+                F.lit(opts.subject_label).alias("role"),
+                F.col("subject_id").alias("comp"),
+                F.lit(C.LAMBDA).alias("anchor"),
+            ),
+            F.struct(
+                F.lit(opts.object_label).alias("role"),
+                F.col("object_id").alias("comp"),
+                F.lit(C.LAMBDA).alias("anchor"),
+            ),
+        ).alias("binds"),
+        "stmt_idx",
+    )
+    # duplicate statements mint the same id; dict overwrite keeps one
+    return links.groupBy("id").agg(
+        F.min_by(F.struct("connector", "parent", "binds"), "stmt_idx").alias("e")
+    ).select("id", "e.connector", "e.parent", "e.binds")
+
+
+def resolve_property_targets(
+    q: DataFrame, opts: ParseOptions, directory: DataFrame
+) -> DataFrame:
+    """A5/A6 target resolution (parser.js:312-364): a literal statement
+    attaches to its subject entity unless the subject lives in a different
+    context — then to a minted Reference in this context.
+
+    ``directory`` = (id, type, parent) of all entities that exist before pass 3
+    (connectors ∪ contexts ∪ nodes). Returns the literal quads annotated with
+    ``target_id`` and ``needs_ref``.
+    """
+    lits = q.filter(~F.col("o_is_res"))
+    d = directory.select(
+        F.col("id").alias("subject_id"),
+        F.col("type").alias("e_type"),
+        F.col("parent").alias("e_parent"),
+    )
+    j = lits.join(d, "subject_id", "left")
+    ref_id = T.create_ref_uri(F.col("s_m"), F.col("parent"))
+    same_ctx = (
+        (F.col("e_type") == C.CONNECTOR)
+        | F.col("e_parent").eqNullSafe(F.col("parent_id"))
+    ) & F.col("e_type").isNotNull()
+    direct = F.col("parent_id").isNull() | same_ctx
+    return j.withColumn("needs_ref", ~direct).withColumn(
+        "target_id", F.when(direct, F.col("subject_id")).otherwise(ref_id)
+    )
+
+
+def create_references(lits_resolved: DataFrame, opts: ParseOptions) -> DataFrame:
+    """A6 (parser.js:129-141,354-364): mint Reference entities for literal
+    statements whose subject belongs to another context. ``ref`` and
+    ``parent`` keep the RAW term strings, exactly as createReference does."""
+    if opts.only_hk:
+        return lits_resolved.sparkSession.createDataFrame(
+            [], "id string, ref string, parent string"
+        )
+    return (
+        lits_resolved.filter(F.col("needs_ref"))
+        .select(
+            F.col("target_id").alias("id"),
+            F.col("s_m").alias("ref"),
+            F.col("parent"),
+            "stmt_idx",
+        )
+        .groupBy("id")
+        .agg(F.min_by(F.struct("ref", "parent"), "stmt_idx").alias("e"))
+        .select("id", "e.ref", "e.parent")
+    )
+
+
+def aggregate_properties(lits_resolved: DataFrame, opts: ParseOptions) -> DataFrame:
+    """A5 (parser.js:312-371,399-525): literal statements → per-entity
+    properties / metaProperties maps, values in statement order.
+
+    Value encoding parity (parser.js:399-421 + utils.js:220-264):
+      - lang literal  → ``"v"@lang`` (re-encoded into the value string)
+      - numeric xsd   → JS ``Number().toString()`` canonical form
+      - boolean xsd   → 'true' / 'false'
+      - anything else → bare inner value string
+      - value ``"<hk://id/null>"^^<T>`` (after conversion) sets ONLY a
+        metaProperty (parser.js:410-420)
+    """
+    if opts.only_hk:
+        lits_resolved = lits_resolved.filter(~F.col("needs_ref"))
+    l = lits_resolved
+    l = l.withColumn("raw_value", T.literal_value("o"))
+    l = l.withColumn("dtype", T.literal_datatype("o"))
+    l = l.withColumn("lang", T.literal_lang("o"))
+    num = T.js_number_string("raw_value")
+    l = l.withColumn(
+        "value",
+        F.when(
+            (F.col("lang").isNotNull()) & (F.col("lang") != ""),
+            F.concat(F.lit('"'), F.col("raw_value"), F.lit('"@'), F.col("lang")),
+        )
+        .when(
+            F.col("dtype").isin(C.NUMBER_DATATYPES) & num.isNotNull(), num
+        )
+        .when(
+            (F.col("dtype") == C.XSD_BOOLEAN_URI)
+            & F.col("raw_value").isin("true", "false"),
+            F.col("raw_value"),
+        )
+        .otherwise(F.col("raw_value")),
+    )
+    l = l.withColumn("prop", T.id_from_resource("p"))
+    # the meta-only escape: value.split('^^')[0] === '"<hk://id/null>"'
+    meta_only = F.split_part(F.col("value"), F.lit("^^"), F.lit(1)) == F.lit(
+        f'"{C.HK_NULL_URI}"'
+    )
+    meta_only_type = T.id_from_resource(
+        F.split_part(F.col("value"), F.lit("^^"), F.lit(2))
+    )
+
+    prop_rows = l.filter(~meta_only).select(
+        "target_id", "prop", "value", "stmt_idx"
+    )
+    meta_rows = l.filter(meta_only & (F.col("value").contains("^^"))).select(
+        "target_id", "prop", meta_only_type.alias("mval"), "stmt_idx"
+    ).unionByName(
+        l.filter(~meta_only & F.col("dtype").isNotNull()).select(
+            "target_id",
+            "prop",
+            T.id_from_resource("dtype").alias("mval"),
+            "stmt_idx",
+        )
+    )
+
+    def _to_map(rows: DataFrame, vcol: str) -> DataFrame:
+        per_key = rows.groupBy("target_id", "prop").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("stmt_idx", F.col(vcol)))),
+                lambda x: x[vcol],
+            ).alias("vals")
+        )
+        return per_key.groupBy("target_id").agg(
+            F.map_from_entries(F.collect_list(F.struct("prop", "vals"))).alias("m")
+        )
+
+    props = _to_map(prop_rows, "value").withColumnRenamed("m", "properties")
+    metas = _to_map(meta_rows, "mval").withColumnRenamed("m", "metaProperties")
+    return props.join(metas, "target_id", "full").select(
+        F.col("target_id").alias("id"), "properties", "metaProperties"
+    )
+
+
+def _as_entities(df: DataFrame, etype: str, **cols: Column) -> DataFrame:
+    """Project a per-type DataFrame onto the full entity schema."""
+    out = df.withColumn("type", F.lit(etype))
+    defaults: dict[str, Column] = {
+        "parent": F.lit(None).cast("string"),
+        "connector": F.lit(None).cast("string"),
+        "ref": F.lit(None).cast("string"),
+        "className": F.lit(None).cast("string"),
+        "roles": F.lit(None).cast("map<string,string>"),
+        "binds": F.lit(None).cast(
+            "array<struct<role:string, comp:string, anchor:string>>"
+        ),
+        "interfaces": F.lit(None).cast(
+            "map<string,struct<type:string, key:string, properties:map<string,string>>>"
+        ),
+    }
+    for name, expr in {**defaults, **cols}.items():
+        if name not in df.columns:
+            out = out.withColumn(name, expr)
+    keep = [c for c in ENTITY_COLUMNS if c in out.columns]
+    return out.select(*keep)
+
+
+def parse_quads(quads: DataFrame, opts: ParseOptions | None = None) -> DataFrame:
+    """The full RDF→HK conversion (parser.js parseGraph), as one DataFrame plan.
+
+    Returns the entities DataFrame (ENTITY_SCHEMA). The input is read by three
+    independent sub-DAGs (the reference's three loops); cache ``quads`` before
+    calling if it is expensive to recompute.
+    """
+    opts = opts or ParseOptions()
+    q = _with_parse_columns(quads, opts)
+
+    connectors = collect_connectors(q, opts)
+    contexts = collect_contexts(q, opts)
+    # a context id clashing with a connector id loses (connectors are merged
+    # into entities last and overwrite, parser.js:376-379)
+    contexts = contexts.join(F.broadcast(connectors), "id", "left_anti")
+
+    taken = connectors.select("id").unionByName(contexts.select("id"))
+    nodes = collect_nodes(q, opts, taken)
+
+    links = create_links(q, opts, connectors)
+
+    directory = (
+        connectors.select("id", F.lit(C.CONNECTOR).alias("type"), F.lit(None).cast("string").alias("parent"))
+        .unionByName(contexts.select("id", F.lit(C.CONTEXT).alias("type"), F.lit(None).cast("string").alias("parent")))
+        .unionByName(nodes.select("id", F.lit(C.NODE).alias("type"), "parent"))
+    )
+    lits_resolved = resolve_property_targets(q, opts, directory)
+    refs = create_references(lits_resolved, opts)
+    props = aggregate_properties(lits_resolved, opts)
+
+    roles_map = F.create_map(
+        F.lit(opts.subject_label),
+        F.lit(C.ROLE_SUBJECT),
+        F.lit(opts.object_label),
+        F.lit(C.ROLE_OBJECT),
+    )
+    entities = (
+        _as_entities(connectors, C.CONNECTOR, roles=roles_map)
+        .unionByName(_as_entities(contexts, C.CONTEXT), allowMissingColumns=True)
+        .unionByName(_as_entities(nodes, C.NODE), allowMissingColumns=True)
+        .unionByName(_as_entities(links, C.LINK), allowMissingColumns=True)
+        .unionByName(_as_entities(refs, C.REFERENCE), allowMissingColumns=True)
+    )
+    out = entities.join(props, "id", "left")
+    for name, typ in [
+        ("properties", "map<string,array<string>>"),
+        ("metaProperties", "map<string,array<string>>"),
+    ]:
+        out = out.withColumn(name, F.col(name).cast(typ))
+    return out.select(*ENTITY_COLUMNS)
