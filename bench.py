@@ -1,0 +1,97 @@
+"""Headline benchmark: runs the engine's flagship operators at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Also reports derived throughputs (quads/sec for the KG-construction pipeline,
+docs/sec for the corpus operators) under "throughput" — these are the numbers
+the N-vs-4N scaling-efficiency comparison in BENCH.md uses.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from rdf2hk_spark.session import get_spark
+
+    spark = get_spark(app="rdf2hk_spark_bench", cpus=cpus)
+
+    import __spark_entry__ as entry
+
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+
+    def run(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        counts[name] = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # KG construction end-to-end: corpus quads → full entity table
+    from rdf2hk_spark.operators.parse import parse_quads
+    from rdf2hk_spark.sources import tpch_kg
+
+    quads = tpch_kg.quads_df(spark, sf_dir)
+    n_quads = quads.count()
+
+    def kg_full():
+        ents = parse_quads(quads, entry.KG_OPTS)
+        n = ents.count()
+        ents.unpersist()
+        return n
+
+    run("kg_construct", kg_full)
+
+    # per-operator headline queries (each self-contained, as the driver runs them)
+    for name in (
+        "kg_properties",
+        "kg_links",
+        "doc_minhash",
+        "doc_lsh_pairs",
+        "doc_simhash",
+        "doc_jaccard",
+        "ann_cosine_topk",
+        "doc_quality",
+        "doc_fingerprint",
+    ):
+        q = entry.queries()[name]
+        run(name, lambda q=q: q(spark, sf_dir).count())
+
+    # throughputs
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    total = round(sum(timings.values()), 3)
+    throughput = {
+        "quads_per_sec": round(n_quads / timings["kg_construct"], 1),
+        "docs_per_sec_minhash": round(n_docs / timings["doc_minhash"], 1),
+        "cpus": cpus,
+        "n_quads": n_quads,
+        "n_docs": n_docs,
+    }
+
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "counts": counts,
+                "throughput": throughput,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -136,6 +136,14 @@ def _with_parse_columns(quads: DataFrame, opts: ParseOptions) -> DataFrame:
     q = q.withColumn("o_is_res", T.is_uri_or_blank_node("o"))
     q = q.withColumn("subject_id", T.id_from_resource("s_m"))
     q = q.withColumn("object_id", T.id_from_resource("o_m"))
+    q = q.withColumn("p_id", T.id_from_resource("p"))
+    # literal decode, done ONCE here (before the persist boundary) so the
+    # term-kernel regexes appear in exactly one projection — downstream
+    # operators see plain columns (codegen-size + recompute win)
+    q = q.withColumn("lit_value", T.literal_value("o"))
+    q = q.withColumn("lit_dtype", T.literal_datatype("o"))
+    q = q.withColumn("lit_lang", T.literal_lang("o"))
+    q = q.withColumn("num_str", T.js_number_string("lit_value"))
     return q
 
 
@@ -309,27 +317,23 @@ def aggregate_properties(lits_resolved: DataFrame, opts: ParseOptions) -> DataFr
     if opts.only_hk:
         lits_resolved = lits_resolved.filter(~F.col("needs_ref"))
     l = lits_resolved
-    l = l.withColumn("raw_value", T.literal_value("o"))
-    l = l.withColumn("dtype", T.literal_datatype("o"))
-    l = l.withColumn("lang", T.literal_lang("o"))
-    num = T.js_number_string("raw_value")
-    l = l.withColumn(
-        "value",
+    value = (
         F.when(
-            (F.col("lang").isNotNull()) & (F.col("lang") != ""),
-            F.concat(F.lit('"'), F.col("raw_value"), F.lit('"@'), F.col("lang")),
+            F.col("lit_lang").isNotNull() & (F.col("lit_lang") != ""),
+            F.concat(F.lit('"'), F.col("lit_value"), F.lit('"@'), F.col("lit_lang")),
         )
         .when(
-            F.col("dtype").isin(C.NUMBER_DATATYPES) & num.isNotNull(), num
+            F.col("lit_dtype").isin(C.NUMBER_DATATYPES) & F.col("num_str").isNotNull(),
+            F.col("num_str"),
         )
         .when(
-            (F.col("dtype") == C.XSD_BOOLEAN_URI)
-            & F.col("raw_value").isin("true", "false"),
-            F.col("raw_value"),
+            (F.col("lit_dtype") == C.XSD_BOOLEAN_URI)
+            & F.col("lit_value").isin("true", "false"),
+            F.col("lit_value"),
         )
-        .otherwise(F.col("raw_value")),
+        .otherwise(F.col("lit_value"))
     )
-    l = l.withColumn("prop", T.id_from_resource("p"))
+    l = l.withColumn("value", value).withColumn("prop", F.col("p_id"))
     # the meta-only escape: value.split('^^')[0] === '"<hk://id/null>"'
     meta_only = F.split_part(F.col("value"), F.lit("^^"), F.lit(1)) == F.lit(
         f'"{C.HK_NULL_URI}"'
@@ -337,37 +341,47 @@ def aggregate_properties(lits_resolved: DataFrame, opts: ParseOptions) -> DataFr
     meta_only_type = T.id_from_resource(
         F.split_part(F.col("value"), F.lit("^^"), F.lit(2))
     )
-
-    prop_rows = l.filter(~meta_only).select(
-        "target_id", "prop", "value", "stmt_idx"
+    # one pass: pval = property value (null when meta-only), mval = meta value
+    l = l.withColumn("is_meta_only", meta_only)
+    l = l.withColumn(
+        "pval", F.when(~F.col("is_meta_only"), F.col("value"))
+    ).withColumn(
+        "mval",
+        F.when(
+            F.col("is_meta_only") & F.col("value").contains("^^"), meta_only_type
+        ).when(
+            ~F.col("is_meta_only") & F.col("lit_dtype").isNotNull(),
+            T.id_from_resource("lit_dtype"),
+        ),
     )
-    meta_rows = l.filter(meta_only & (F.col("value").contains("^^"))).select(
-        "target_id", "prop", meta_only_type.alias("mval"), "stmt_idx"
-    ).unionByName(
-        l.filter(~meta_only & F.col("dtype").isNotNull()).select(
-            "target_id",
-            "prop",
-            T.id_from_resource("dtype").alias("mval"),
-            "stmt_idx",
-        )
-    )
 
-    def _to_map(rows: DataFrame, vcol: str) -> DataFrame:
-        per_key = rows.groupBy("target_id", "prop").agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("stmt_idx", F.col(vcol)))),
-                lambda x: x[vcol],
-            ).alias("vals")
-        )
-        return per_key.groupBy("target_id").agg(
-            F.map_from_entries(F.collect_list(F.struct("prop", "vals"))).alias("m")
+    def _vals(col: str) -> F.Column:
+        # stmt_idx-ordered values, nulls (non-applicable rows) dropped
+        return F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col(col).isNotNull(), F.struct("stmt_idx", F.col(col))
+                    )
+                )
+            ),
+            lambda x: x[col],
         )
 
-    props = _to_map(prop_rows, "value").withColumnRenamed("m", "properties")
-    metas = _to_map(meta_rows, "mval").withColumnRenamed("m", "metaProperties")
-    return props.join(metas, "target_id", "full").select(
-        F.col("target_id").alias("id"), "properties", "metaProperties"
+    per_key = l.groupBy("target_id", "prop").agg(
+        _vals("pval").alias("pvals"), _vals("mval").alias("mvals")
     )
+
+    def _map_of(col: str) -> F.Column:
+        entries = F.collect_list(
+            F.when(F.size(F.col(col)) > 0, F.struct("prop", F.col(col)))
+        )
+        return F.when(F.size(entries) > 0, F.map_from_entries(entries))
+
+    return per_key.groupBy("target_id").agg(
+        _map_of("pvals").alias("properties"),
+        _map_of("mvals").alias("metaProperties"),
+    ).select(F.col("target_id").alias("id"), "properties", "metaProperties")
 
 
 def _as_entities(df: DataFrame, etype: str, **cols: Column) -> DataFrame:
@@ -393,15 +407,24 @@ def _as_entities(df: DataFrame, etype: str, **cols: Column) -> DataFrame:
     return out.select(*keep)
 
 
-def parse_quads(quads: DataFrame, opts: ParseOptions | None = None) -> DataFrame:
+def parse_quads(
+    quads: DataFrame, opts: ParseOptions | None = None, persist: bool = True
+) -> DataFrame:
     """The full RDF→HK conversion (parser.js parseGraph), as one DataFrame plan.
 
     Returns the entities DataFrame (ENTITY_SCHEMA). The input is read by three
-    independent sub-DAGs (the reference's three loops); cache ``quads`` before
-    calling if it is expensive to recompute.
+    independent sub-DAGs (the reference's three loops); ``persist=True``
+    (default) persists the annotated quads so the term-kernel decode runs once
+    instead of once per downstream branch — at cluster scale this is a
+    MEMORY_AND_DISK cache of the (already materialized) input, the same
+    tradeoff the reference makes by holding the quad store in memory.
     """
     opts = opts or ParseOptions()
     q = _with_parse_columns(quads, opts)
+    if persist:
+        from pyspark.storagelevel import StorageLevel
+
+        q = q.persist(StorageLevel.MEMORY_AND_DISK)
 
     connectors = collect_connectors(q, opts)
     contexts = collect_contexts(q, opts)

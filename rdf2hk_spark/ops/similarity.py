@@ -1,0 +1,148 @@
+"""Similarity search over embedding columns (entity linking's scoring leg).
+
+- ``cosine_topk``    — brute-force exact top-k: the baseline and the verifier
+  for approximate variants. The query side is broadcast (it is k·dim floats);
+  the corpus side streams, so the plan is a single broadcast nested loop with
+  no shuffle except the per-query top-k aggregate.
+- ``lsh_buckets`` / ``ann_topk_lsh`` — random-hyperplane LSH: deterministic
+  pseudo-random planes derived from md5 (portable to the SQL oracle), bucket
+  join + exact re-rank inside the bucket. At 10^12 scale the bucket join
+  replaces the O(n·q) scan with O(candidates).
+
+Scores are emitted rounded (×10^4, as integers) so Spark and the DuckDB oracle
+compare bit-equal despite floating-point summation-order differences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from rdf2hk_spark.ops.hashing import md5_int
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine (vectors are unit-norm ⇒ dot). Returns
+    (q_id, rank, cand_id, score_e4) with rank 1-based, ties broken by cand_id."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "cand_id",
+            F.round(_dot(F.col("q_vec"), F.col("c_vec")) * 1e4).cast("long").alias("score_e4"),
+        )
+    )
+    ranked = scored.groupBy("q_id").agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(F.struct((-F.col("score_e4")).alias("neg"), "cand_id", "score_e4"))
+            ),
+            1,
+            k,
+        ).alias("top")
+    )
+    return ranked.select(
+        "q_id", F.posexplode("top").alias("r0", "t")
+    ).select(
+        "q_id",
+        (F.col("r0") + 1).cast("int").alias("rank"),
+        F.col("t.cand_id").alias("cand_id"),
+        F.col("t.score_e4").alias("score_e4"),
+    )
+
+
+def lsh_buckets(
+    embeddings: DataFrame,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane signature: bit_p = sign(v · w_p) where
+    w_p[d] = md5_int(p ',' d)/10^6 - 0.5 (deterministic, engine-portable).
+    Returns (id, bucket) with bucket a planes-char '0'/'1' string."""
+    dim_w = F.transform(
+        F.sequence(F.lit(0), F.lit(planes - 1)),
+        lambda p: F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.transform(
+                    F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1),
+                    lambda d: md5_int(
+                        F.concat(p.cast("string"), F.lit(","), d.cast("string"))
+                    ).cast("double") / 1e6 - 0.5,
+                ),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    sig = F.concat_ws(
+        "",
+        F.transform(dim_w, lambda s: F.when(s > 0, F.lit("1")).otherwise(F.lit("0"))),
+    )
+    return embeddings.select(F.col(id_col).alias("id"), sig.alias("bucket"))
+
+
+def ann_topk_lsh(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket; exact
+    re-rank within. Same output shape as cosine_topk (rank may be < k when a
+    bucket is thin — that is the approximation)."""
+    b = lsh_buckets(embeddings, planes, id_col, vec_col)
+    e = embeddings.join(b, embeddings[id_col] == b["id"]).select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"), "bucket"
+    )
+    qb = queries.join(b, queries[id_col] == b["id"]).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "bucket"
+    )
+    scored = (
+        e.join(F.broadcast(qb), "bucket")
+        .filter(F.col("cand_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "cand_id",
+            F.round(_dot(F.col("q_vec"), F.col("c_vec")) * 1e4).cast("long").alias("score_e4"),
+        )
+    )
+    ranked = scored.groupBy("q_id").agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(F.struct((-F.col("score_e4")).alias("neg"), "cand_id", "score_e4"))
+            ),
+            1,
+            k,
+        ).alias("top")
+    )
+    return ranked.select("q_id", F.posexplode("top").alias("r0", "t")).select(
+        "q_id",
+        (F.col("r0") + 1).cast("int").alias("rank"),
+        F.col("t.cand_id").alias("cand_id"),
+        F.col("t.score_e4").alias("score_e4"),
+    )

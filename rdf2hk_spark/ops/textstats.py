@@ -1,0 +1,92 @@
+"""Text-analysis operators: token counting, quality scoring, language ID,
+document fingerprinting. Pure Column expressions (JVM-side); all ratio-like
+outputs are emitted as exact integer arithmetic (floor of integer-scaled
+rationals) so the DuckDB oracle compares bit-equal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from rdf2hk_spark.ops.hashing import md5s
+
+# tiny marker-word lists for the n-gram/stopword language heuristic
+LANG_MARKERS = {
+    "en": ["the", "a", "of", "and", "in"],
+    "es": ["el", "la", "de", "y", "que"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ein"],
+    "pt": ["o", "a", "de", "e", "que"],
+}
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, n_chars, n_ws_tokens, n_re_tokens): whitespace tokens + a
+    BPE-ish lexer count (letter runs / digit runs / single other chars)."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.length(t).cast("long").alias("n_chars"),
+        F.size(F.split(t, " ")).cast("long").alias("n_ws_tokens"),
+        F.regexp_count(t, F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]")).cast("long").alias(
+            "n_re_tokens"
+        ),
+    )
+
+
+def quality_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Quality signals per doc, integer-exact:
+    n_tokens, n_distinct, mean_tok_len_x100, stop_ratio_x1000, distinct_ratio_x1000."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    stops = LANG_MARKERS["en"]
+    n_tok = F.size(toks).cast("long")
+    n_dis = F.size(F.array_distinct(toks)).cast("long")
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(stops))).cast("long")
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_tok.alias("n_tokens"),
+        n_dis.alias("n_distinct"),
+        F.floor(sum_len * 100.0 / n_tok).cast("long").alias("mean_tok_len_x100"),
+        F.floor(n_stop * 1000.0 / n_tok).cast("long").alias("stop_ratio_x1000"),
+        F.floor(n_dis * 1000.0 / n_tok).cast("long").alias("distinct_ratio_x1000"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Marker-word language scores + argmax prediction ('unknown' when no
+    marker hits). Deterministic tie-break: language name ascending."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    scores = {
+        lang: F.size(F.filter(toks, lambda x: x.isin(words))).cast("long")
+        for lang, words in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit("unknown")
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        pred = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return df.select(
+        F.col(id_col).alias("id"),
+        *[scores[lang].alias(f"score_{lang}") for lang in sorted(LANG_MARKERS)],
+        pred.alias("pred_lang"),
+    )
+
+
+def fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """Document fingerprint: the minimum md5 over word k-grams (winnowing's
+    global window). (id, fp, n_grams)."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    grams = F.when(F.size(toks) >= k, F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)]),
+    )).otherwise(F.array().cast("array<string>"))
+    hashed = F.transform(grams, lambda g: md5s(g))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_min(hashed).alias("fp"),
+        F.size(grams).cast("long").alias("n_grams"),
+    )
