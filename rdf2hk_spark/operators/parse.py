@@ -82,6 +82,9 @@ class ParseOptions:
     # deterministic replacement for parser.js:197-208 uuid blank-node remap:
     # name of a column used as per-document salt; None = global constant salt
     blank_node_salt_col: str | None = None
+    # CustomHKParser (customhkparser.js): contextualize = [{p, o?, allowReference}]
+    custom_rdf_parser: bool = False
+    contextualize: list[dict] | None = None
 
     def __post_init__(self) -> None:
         if self.namespace_context:
@@ -175,9 +178,7 @@ def collect_contexts(q: DataFrame, opts: ParseOptions) -> DataFrame:
     return q.filter(cond).select(F.col("parent").alias("id")).distinct()
 
 
-def collect_nodes(
-    q: DataFrame, opts: ParseOptions, taken_ids: DataFrame
-) -> DataFrame:
+def collect_nodes(q: DataFrame, opts: ParseOptions) -> DataFrame:
     """A3 (parser.js:191-251): distinct subjects ∪ resource objects → Node,
     first occurrence wins (subject position before object within a statement);
     parent = graph id only under setNodeContext (object occurrences null the
@@ -201,17 +202,20 @@ def collect_nodes(
         parent_expr = F.col("first.parent_id")
     else:
         parent_expr = F.lit(None).cast("string")
-    nodes = (
+    # ids already claimed in pass 1 (parser.js:221,236) are excluded later by
+    # the caller's priority merge (pass-1 shells outrank pass-2 nodes);
+    # min_ord (first-occurrence order) feeds the CustomHKParser's
+    # "does the entity already exist" check
+    return (
         occ.groupBy("id")
         .agg(
             F.min_by(
                 F.struct("parent_id"), F.struct("stmt_idx", "pos")
-            ).alias("first")
+            ).alias("first"),
+            F.min(F.col("stmt_idx") * 2 + F.col("pos")).alias("min_ord"),
         )
-        .select("id", parent_expr.alias("parent"))
+        .select("id", parent_expr.alias("parent"), "min_ord")
     )
-    # ids already claimed by connectors/contexts in pass 1 (parser.js:221,236)
-    return nodes.join(F.broadcast(taken_ids), "id", "left_anti")
 
 
 def create_links(q: DataFrame, opts: ParseOptions, connectors: DataFrame) -> DataFrame:
@@ -422,29 +426,57 @@ def parse_quads(
     opts = opts or ParseOptions()
     q = _with_parse_columns(quads, opts)
     if persist:
-        from pyspark.storagelevel import StorageLevel
+        # localCheckpoint (not just persist): materializes the annotated quads
+        # AND truncates the logical plan, so the ~15 downstream aggregations
+        # plan against a flat scan instead of re-optimizing the whole upstream
+        # lineage (serialize→parse chains otherwise blow up Catalyst planning
+        # time superlinearly). On a cluster this is executor-local storage —
+        # the stage-checkpoint layer (pipeline.runner) provides the durable
+        # variant.
+        q = q.localCheckpoint(eager=True)
 
-        q = q.persist(StorageLevel.MEMORY_AND_DISK)
+    convert_hk = opts.convert_hk or opts.only_hk
+    if convert_hk:
+        from rdf2hk_spark.operators import hkvocab
 
-    connectors = collect_connectors(q, opts)
-    contexts = collect_contexts(q, opts)
-    # a context id clashing with a connector id loses (connectors are merged
-    # into entities last and overwrite, parser.js:376-379)
-    contexts = contexts.join(F.broadcast(connectors), "id", "left_anti")
+        mask = hkvocab.should_convert(opts.only_hk)
+        hkq = q.filter(mask)
+        uq = q.filter(~mask)
+    else:
+        hkq = None
+        uq = q
 
-    taken = connectors.select("id").unionByName(contexts.select("id"))
-    nodes = collect_nodes(q, opts, taken)
+    custom = bool(opts.custom_rdf_parser and opts.contextualize)
+    if custom:
+        from rdf2hk_spark.operators import customparse
 
-    links = create_links(q, opts, connectors)
+        cmask = customparse.matching_mask(opts.contextualize)
+        uq12 = uq.filter(~cmask)  # loops 1-2 consume matching statements
+    else:
+        uq12 = uq
 
-    directory = (
-        connectors.select("id", F.lit(C.CONNECTOR).alias("type"), F.lit(None).cast("string").alias("parent"))
-        .unionByName(contexts.select("id", F.lit(C.CONTEXT).alias("type"), F.lit(None).cast("string").alias("parent")))
-        .unionByName(nodes.select("id", F.lit(C.NODE).alias("type"), "parent"))
-    )
-    lits_resolved = resolve_property_targets(q, opts, directory)
-    refs = create_references(lits_resolved, opts)
-    props = aggregate_properties(lits_resolved, opts)
+    connectors = collect_connectors(uq12, opts)
+    contexts = collect_contexts(uq12, opts)
+    nodes_all = collect_nodes(uq12, opts)
+
+    custom_ctx = custom_new_nodes = custom_refs = None
+    if custom:
+        custom_ctx = customparse.custom_contexts(uq, opts.contextualize)
+        custom_new_nodes, overrides, custom_refs = customparse.custom_nodes_and_refs(
+            uq, opts.contextualize, nodes_all
+        )
+        nodes_all = (
+            nodes_all.join(overrides, "id", "left")
+            .withColumn("parent", F.coalesce("new_parent", "parent"))
+            .drop("new_parent")
+        )
+        node_parents = nodes_all.select("id", "parent").unionByName(
+            custom_new_nodes.select("id", "parent")
+        )
+        links = customparse.custom_links(uq, opts, connectors, node_parents)
+    else:
+        links = create_links(uq, opts, connectors)
+    nodes_all = nodes_all.drop("min_ord")
 
     roles_map = F.create_map(
         F.lit(opts.subject_label),
@@ -452,17 +484,143 @@ def parse_quads(
         F.lit(opts.object_label),
         F.lit(C.ROLE_OBJECT),
     )
-    entities = (
-        _as_entities(connectors, C.CONNECTOR, roles=roles_map)
-        .unionByName(_as_entities(contexts, C.CONTEXT), allowMissingColumns=True)
-        .unionByName(_as_entities(nodes, C.NODE), allowMissingColumns=True)
-        .unionByName(_as_entities(links, C.LINK), allowMissingColumns=True)
-        .unionByName(_as_entities(refs, C.REFERENCE), allowMissingColumns=True)
+
+    # shell priority: the reference's dict insertion order — pass-1 entries
+    # (base connectors overwrite everything at finish, parser.js:376-379; HK
+    # isa/usesConnector shells beat pass-2 nodes), then nodes, links, refs
+    def prio(df: DataFrame, p: int, defined, etype: str | None = None, **cols) -> DataFrame:
+        out = _as_entities(df, etype, **cols) if etype else df
+        return out.withColumn("_prio", F.lit(p)).withColumn(
+            "parent_defined",
+            defined if isinstance(defined, Column) else F.lit(defined),
+        )
+
+    # priority ladder (lower wins): 0 base connectors (overwrite-all at
+    # finish), 1 HK shells, 2 custom contexts, 3 base contexts, 4 custom
+    # nodes, 5 base nodes, 6 links, 7 refs
+    shells = [
+        prio(connectors, 0, False, C.CONNECTOR, roles=roles_map),
+        prio(contexts, 3, False, C.CONTEXT),
+        prio(nodes_all, 5, bool(opts.set_node_context), C.NODE),
+        prio(links, 6, True, C.LINK),
+    ]
+    if custom:
+        shells.append(prio(custom_ctx, 2, True, C.CONTEXT))
+        shells.append(prio(custom_new_nodes, 4, True, C.NODE))
+        shells.append(prio(custom_refs, 7, True, C.REFERENCE))
+    if convert_hk:
+        hk_shells = (
+            hkvocab.isa_shells(hkq).drop("stmt_idx")
+            .unionByName(
+                hkvocab.compressed_link_shells(hkq).drop("stmt_idx"),
+                allowMissingColumns=True,
+            )
+        )
+        hk_e = hk_shells.select(
+            "id", "type", "parent", "parent_defined",
+            *[c for c in ["connector"] if c in hk_shells.columns],
+        )
+        for name, typ in [
+            ("connector", "string"), ("ref", "string"), ("className", "string"),
+            ("roles", "map<string,string>"),
+            ("binds", "array<struct<role:string, comp:string, anchor:string>>"),
+            ("properties", "map<string,array<string>>"),
+            ("metaProperties", "map<string,array<string>>"),
+            ("interfaces",
+             "map<string,struct<type:string, key:string, properties:map<string,string>>>"),
+        ]:
+            if name not in hk_e.columns:
+                hk_e = hk_e.withColumn(name, F.lit(None).cast(typ))
+        hk_e = hk_e.select(*ENTITY_COLUMNS, "parent_defined").withColumn("_prio", F.lit(1))
+        shells.append(hk_e)
+
+    merged = shells[0]
+    for s_df in shells[1:]:
+        merged = merged.unionByName(s_df, allowMissingColumns=True)
+    fields = [c for c in merged.columns if c not in ("id", "_prio")]
+    resolved = merged.groupBy("id").agg(
+        F.min_by(F.struct(*fields), F.col("_prio")).alias("e")
+    ).select("id", *[F.col(f"e.{f}").alias(f) for f in fields])
+
+    if convert_hk:
+        upd = hkvocab.intrinsic_updates(hkq)
+        resolved = resolved.join(upd, "id", "left")
+        resolved = (
+            resolved.withColumn(
+                "parent",
+                F.when(F.col("u_parent_set").eqNullSafe(True), F.col("u_parent"))
+                .otherwise(F.col("parent")),
+            )
+            .withColumn(
+                "parent_defined",
+                F.col("parent_defined") | F.col("u_parent_set").eqNullSafe(True),
+            )
+            .withColumn("ref", F.coalesce("u_ref", "ref"))
+            .withColumn("connector", F.coalesce("u_connector", "connector"))
+            .withColumn("className", F.coalesce("u_className", "className"))
+            .drop("u_parent", "u_parent_set", "u_ref", "u_connector", "u_className")
+        )
+        roles_upd = hkvocab.connector_roles(hkq)
+        resolved = resolved.join(roles_upd, "id", "left").withColumn(
+            "roles",
+            F.when(
+                (F.col("type") == C.CONNECTOR) & F.col("u_roles").isNotNull(),
+                _merge_maps(F.col("roles"), F.col("u_roles")),
+            ).otherwise(F.col("roles")),
+        ).drop("u_roles")
+
+    # property/reference resolution over user statements only (HK statements
+    # were consumed by the plugin, hkparser.js shouldConvert)
+    directory = resolved.filter(~F.col("type").isin(C.LINK, C.REFERENCE)).select(
+        "id", "type", "parent"
     )
-    out = entities.join(props, "id", "left")
+    lits_resolved = resolve_property_targets(uq, opts, directory)
+    refs = create_references(lits_resolved, opts)
+    props = aggregate_properties(lits_resolved, opts)
+
+    ref_e = prio(refs, 7, True, C.REFERENCE)
+    resolved = resolved.withColumn("_prio", F.lit(0)).unionByName(
+        ref_e, allowMissingColumns=True
+    )
+    fields = [c for c in resolved.columns if c not in ("id", "_prio")]
+    resolved = resolved.groupBy("id").agg(
+        F.min_by(F.struct(*fields), F.col("_prio")).alias("e")
+    ).select("id", *[F.col(f"e.{f}").alias(f) for f in fields])
+
+    if convert_hk:
+        resolved = (
+            resolved.join(hkvocab.compressed_binds(hkq), "id", "left")
+            .join(hkvocab.reified_binds(hkq), "id", "left")
+        )
+        resolved = hkvocab.finalize_binds(resolved)
+        resolved = resolved.join(hkvocab.interfaces_map(hkq), "id", "left").withColumn(
+            "interfaces", F.coalesce("u_interfaces", "interfaces")
+        ).drop("u_interfaces")
+        # ref-target suppression (hkparser.js:417-425): drop referenced
+        # entities that never received a parent
+        ref_targets = resolved.filter(
+            (F.col("type") == C.REFERENCE) & F.col("ref").isNotNull()
+        ).select(F.col("ref").alias("id")).distinct()
+        doomed = resolved.join(ref_targets, "id", "left_semi").filter(
+            (~F.col("parent_defined")) & (F.col("type") != C.CONNECTOR)
+        ).select("id")
+        resolved = resolved.join(F.broadcast(doomed), "id", "left_anti")
+
+    out = resolved.drop("properties", "metaProperties").join(props, "id", "left")
     for name, typ in [
         ("properties", "map<string,array<string>>"),
         ("metaProperties", "map<string,array<string>>"),
     ]:
         out = out.withColumn(name, F.col(name).cast(typ))
+    if convert_hk and not opts.text_literal_as_node:
+        from rdf2hk_spark.operators import hkvocab as _hv
+
+        out = _hv.strip_literal_markers(out)
     return out.select(*ENTITY_COLUMNS)
+
+
+def _merge_maps(base: Column, upd: Column) -> Column:
+    """Merge two maps, update-side wins on key conflicts (JS addRole)."""
+    b = F.coalesce(base, F.from_json(F.lit("{}"), "map<string,string>"))
+    kept = F.map_filter(b, lambda k, v: ~F.map_contains_key(upd, k))
+    return F.map_concat(kept, upd)
