@@ -20,7 +20,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from rdf2hk_spark import constants as C
 from rdf2hk_spark.operators.parse import ParseOptions, parse_quads
+from rdf2hk_spark.operators.serialize import SerializeOptions, serialize_entities
 from rdf2hk_spark.ops import dedup, similarity, textstats
+from rdf2hk_spark.plans import query as plans_query
 from rdf2hk_spark.sources import tpch_kg
 
 KG_OPTS = ParseOptions(create_context=True, set_node_context=True)
@@ -109,6 +111,34 @@ def q_kg_entity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy(F.col("type").alias("etype")).agg(
         F.count("*").cast("long").alias("n")
     )
+
+
+def q_kg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """serialize(parse(corpus)) must reproduce the corpus quads byte-exactly —
+    the Z1-Z9 serializer checked against the original quad-generation SQL."""
+    rdf = serialize_entities(
+        _entities(spark, sf_dir),
+        SerializeOptions(convert_hk=False, default_graph=C.HK_NULL_URI),
+    )
+    return rdf.select("s", "p", "o", "g")
+
+
+def q_kg_filter_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query layer Q3: links by connector (compiles to a pushed-down filter)."""
+    out = plans_query.filter_entities(
+        _entities(spark, sf_dir),
+        {"type": "link", "connector": "<urn:hk:p/inNation>"},
+    )
+    return out.select("id", "parent")
+
+
+def q_kg_remove_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query layer Q7: surviving entity ids after cascade-removing nation/0
+    (drops the node, every link binding it, and connectors' refs to it)."""
+    out = plans_query.remove_entities(
+        _entities(spark, sf_dir), ["<urn:hk:nation/0>"]
+    )
+    return out.select("id")
 
 
 # ---------------------------------------------------------------------------

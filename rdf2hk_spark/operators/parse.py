@@ -85,6 +85,9 @@ class ParseOptions:
     # CustomHKParser (customhkparser.js): contextualize = [{p, o?, allowReference}]
     custom_rdf_parser: bool = False
     contextualize: list[dict] | None = None
+    # set when the input has no duplicate (s,p,o,g) statements (e.g. the
+    # extraction pipeline dedups upstream): skips the link-dedup shuffle
+    assume_distinct_statements: bool = False
 
     def __post_init__(self) -> None:
         if self.namespace_context:
@@ -249,6 +252,8 @@ def create_links(q: DataFrame, opts: ParseOptions, connectors: DataFrame) -> Dat
         ).alias("binds"),
         "stmt_idx",
     )
+    if opts.assume_distinct_statements:
+        return links.drop("stmt_idx")
     # duplicate statements mint the same id; dict overwrite keeps one
     return links.groupBy("id").agg(
         F.min_by(F.struct("connector", "parent", "binds"), "stmt_idx").alias("e")
@@ -411,6 +416,100 @@ def _as_entities(df: DataFrame, etype: str, **cols: Column) -> DataFrame:
     return out.select(*keep)
 
 
+def collect_shells_fused(q: DataFrame, opts: ParseOptions) -> DataFrame:
+    """Fused A1+A2+A3 + priority resolution: ONE shuffle instead of four.
+
+    Emits one candidate row per potential entity occurrence, tagged with the
+    priority kind (0 connector, 3 context, 5 node — the same ladder the
+    general path uses), then resolves everything in a single groupBy(id):
+    the winning kind is the minimum kind, the connector's className comes from
+    the first predicate occurrence, the node's parent from the first
+    subject/object occurrence. Semantically identical to the sequential
+    dict-insertion of parser.js for the base (no-plugin) pipeline.
+    """
+    conn_cand = q.filter(T.is_uri("p") & F.col("o_is_res")).select(
+        F.col("p_id").alias("id"), F.lit(0).alias("kind"),
+        (F.col("stmt_idx") * 2).alias("ord"),
+        F.col("p").alias("payload"),  # className decided from first p
+        F.lit(None).cast("string").alias("parent_cand"),
+    )
+    branches = [conn_cand]
+    if opts.create_context:
+        cond = F.col("parent").isNotNull() & (F.col("parent") != C.HK_NULL_URI)
+        if opts.strategy == "pre-existing-context" and opts.root_context is not None:
+            cond = cond & (F.col("parent") != opts.root_context)
+        branches.append(
+            q.filter(cond).select(
+                F.col("parent").alias("id"), F.lit(3).alias("kind"),
+                (F.col("stmt_idx") * 2).alias("ord"),
+                F.lit(None).cast("string").alias("payload"),
+                F.lit(None).cast("string").alias("parent_cand"),
+            )
+        )
+    branches.append(
+        q.filter(T.is_uri_or_blank_node("s")).select(
+            F.col("subject_id").alias("id"), F.lit(5).alias("kind"),
+            (F.col("stmt_idx") * 2).alias("ord"),
+            F.lit(None).cast("string").alias("payload"),
+            F.col("parent_id").alias("parent_cand"),
+        )
+    )
+    branches.append(
+        q.filter(F.col("o_is_res")).select(
+            F.col("object_id").alias("id"), F.lit(5).alias("kind"),
+            (F.col("stmt_idx") * 2 + 1).alias("ord"),
+            F.lit(None).cast("string").alias("payload"),
+            F.when(
+                F.col("parent_id") != F.col("object_id"), F.col("parent_id")
+            ).alias("parent_cand"),
+        )
+    )
+    cand = branches[0]
+    for b in branches[1:]:
+        cand = cand.unionByName(b)
+
+    node_parent = (
+        F.min_by(
+            F.when(F.col("kind") == 5, F.struct("parent_cand")),
+            F.when(F.col("kind") == 5, F.col("ord")),
+        )
+        if opts.set_node_context
+        else None
+    )
+    aggs = [
+        F.min("kind").alias("kind"),
+        F.min_by(
+            F.when(F.col("kind") == 0, F.col("payload")),
+            F.when(F.col("kind") == 0, F.col("ord")),
+        ).alias("p0"),
+    ]
+    if node_parent is not None:
+        aggs.append(node_parent.alias("np"))
+    res = cand.groupBy("id").agg(*aggs)
+    parent = (
+        F.when(F.col("kind") == 5, F.col("np.parent_cand"))
+        if opts.set_node_context
+        else F.lit(None).cast("string")
+    )
+    return res.select(
+        "id",
+        F.when(F.col("kind") == 0, C.CONNECTOR)
+        .when(F.col("kind") == 3, C.CONTEXT)
+        .otherwise(C.NODE)
+        .alias("type"),
+        parent.alias("parent"),
+        F.when(
+            F.col("kind") == 0,
+            F.when(
+                F.col("p0").isin(opts.hierarchy_connector_ids), C.HIERARCHY
+            ).otherwise(C.FACTS),
+        ).alias("className"),
+        ((F.col("kind") == 5) & F.lit(bool(opts.set_node_context))).alias(
+            "parent_defined"
+        ),
+    )
+
+
 def parse_quads(
     quads: DataFrame, opts: ParseOptions | None = None, persist: bool = True
 ) -> DataFrame:
@@ -426,14 +525,27 @@ def parse_quads(
     opts = opts or ParseOptions()
     q = _with_parse_columns(quads, opts)
     if persist:
-        # localCheckpoint (not just persist): materializes the annotated quads
-        # AND truncates the logical plan, so the ~15 downstream aggregations
-        # plan against a flat scan instead of re-optimizing the whole upstream
-        # lineage (serialize→parse chains otherwise blow up Catalyst planning
-        # time superlinearly). On a cluster this is executor-local storage —
-        # the stage-checkpoint layer (pipeline.runner) provides the durable
-        # variant.
-        q = q.localCheckpoint(eager=True)
+        # The annotated quads feed ~15 downstream aggregations. Two regimes:
+        # - simple lineage (scans/pipeline stages): columnar persist — fast
+        #   (whole-stage codegen reads the in-memory columnar batches);
+        # - deep lineage (e.g. serialize→parse chains with dozens of union
+        #   branches): localCheckpoint, which truncates the logical plan —
+        #   otherwise every downstream query re-analyzes the whole tree and
+        #   Catalyst planning time blows up superlinearly (17 min observed).
+        # Discriminate by leaf count of the analyzed plan.
+        deep = False
+        try:
+            deep = (
+                quads._jdf.queryExecution().analyzed().collectLeaves().size() > 24
+            )
+        except Exception:
+            pass
+        if deep:
+            q = q.localCheckpoint(eager=True)
+        else:
+            from pyspark.storagelevel import StorageLevel
+
+            q = q.persist(StorageLevel.MEMORY_AND_DISK)
 
     convert_hk = opts.convert_hk or opts.only_hk
     if convert_hk:
@@ -447,6 +559,83 @@ def parse_quads(
         uq = q
 
     custom = bool(opts.custom_rdf_parser and opts.contextualize)
+
+    if not custom and not convert_hk:
+        # hot path: one fused shuffle resolves connectors/contexts/nodes
+        resolved = collect_shells_fused(uq, opts)
+        connectors = resolved.filter(F.col("type") == C.CONNECTOR).select(
+            "id", "className"
+        )
+        links = create_links(uq, opts, connectors)
+        roles_map = F.create_map(
+            F.lit(opts.subject_label), F.lit(C.ROLE_SUBJECT),
+            F.lit(opts.object_label), F.lit(C.ROLE_OBJECT),
+        )
+        resolved = (
+            resolved.withColumn(
+                "roles",
+                F.when(F.col("type") == C.CONNECTOR, roles_map),
+            )
+            .withColumn("connector", F.lit(None).cast("string"))
+            .withColumn("ref", F.lit(None).cast("string"))
+            .withColumn(
+                "binds",
+                F.lit(None).cast(
+                    "array<struct<role:string, comp:string, anchor:string>>"
+                ),
+            )
+            .withColumn(
+                "interfaces",
+                F.lit(None).cast(
+                    "map<string,struct<type:string, key:string,"
+                    " properties:map<string,string>>>"
+                ),
+            )
+        )
+        directory = resolved.select("id", "type", "parent")
+        lits_resolved = resolve_property_targets(uq, opts, directory)
+        refs = create_references(lits_resolved, opts)
+        props = aggregate_properties(lits_resolved, opts)
+        link_e = links.select(
+            "id", F.lit(C.LINK).alias("type"), "parent", "connector",
+            F.lit(None).cast("string").alias("ref"),
+            F.lit(None).cast("string").alias("className"),
+            F.lit(None).cast("map<string,string>").alias("roles"), "binds",
+            F.lit(None).cast(
+                "map<string,struct<type:string, key:string,"
+                " properties:map<string,string>>>"
+            ).alias("interfaces"),
+            F.lit(True).alias("parent_defined"),
+        )
+        ref_e = refs.select(
+            "id", F.lit(C.REFERENCE).alias("type"), "parent",
+            F.lit(None).cast("string").alias("connector"), "ref",
+            F.lit(None).cast("string").alias("className"),
+            F.lit(None).cast("map<string,string>").alias("roles"),
+            F.lit(None).cast(
+                "array<struct<role:string, comp:string, anchor:string>>"
+            ).alias("binds"),
+            F.lit(None).cast(
+                "map<string,struct<type:string, key:string,"
+                " properties:map<string,string>>>"
+            ).alias("interfaces"),
+            F.lit(True).alias("parent_defined"),
+        )
+        cols = ["id", "type", "parent", "connector", "ref", "className",
+                "roles", "binds", "interfaces", "parent_defined"]
+        all_e = (
+            resolved.select(*cols)
+            .unionByName(link_e.select(*cols))
+            .unionByName(ref_e.select(*cols))
+        )
+        out = all_e.join(props, "id", "left")
+        for name, typ in [
+            ("properties", "map<string,array<string>>"),
+            ("metaProperties", "map<string,array<string>>"),
+        ]:
+            out = out.withColumn(name, F.col(name).cast(typ))
+        return out.select(*ENTITY_COLUMNS)
+
     if custom:
         from rdf2hk_spark.operators import customparse
 
@@ -579,13 +768,21 @@ def parse_quads(
     props = aggregate_properties(lits_resolved, opts)
 
     ref_e = prio(refs, 7, True, C.REFERENCE)
-    resolved = resolved.withColumn("_prio", F.lit(0)).unionByName(
-        ref_e, allowMissingColumns=True
-    )
-    fields = [c for c in resolved.columns if c not in ("id", "_prio")]
-    resolved = resolved.groupBy("id").agg(
-        F.min_by(F.struct(*fields), F.col("_prio")).alias("e")
-    ).select("id", *[F.col(f"e.{f}").alias(f) for f in fields])
+    if convert_hk or custom:
+        # ref ids can collide with HK/custom shells → resolve by priority
+        resolved = resolved.withColumn("_prio", F.lit(0)).unionByName(
+            ref_e, allowMissingColumns=True
+        )
+        fields = [c for c in resolved.columns if c not in ("id", "_prio")]
+        resolved = resolved.groupBy("id").agg(
+            F.min_by(F.struct(*fields), F.col("_prio")).alias("e")
+        ).select("id", *[F.col(f"e.{f}").alias(f) for f in fields])
+    else:
+        # base pipeline: <hk://ref/md5> ids are disjoint from every other
+        # entity id space — plain union, no shuffle
+        resolved = resolved.unionByName(
+            ref_e.drop("_prio"), allowMissingColumns=True
+        )
 
     if convert_hk:
         resolved = (
