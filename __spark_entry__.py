@@ -222,6 +222,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_metaproperties": q_kg_metaproperties,
         "kg_refs": q_kg_refs,
         "kg_entity_counts": q_kg_entity_counts,
+        "kg_roundtrip": q_kg_roundtrip,
+        "kg_filter_links": q_kg_filter_links,
+        "kg_remove_cascade": q_kg_remove_cascade,
         "doc_dedup_exact": q_doc_dedup_exact,
         "doc_minhash": q_doc_minhash,
         "doc_lsh_pairs": q_doc_lsh_pairs,
@@ -389,6 +392,39 @@ def oracle_sql() -> dict[str, str]:
               SELECT 'ref', count(DISTINCT id) FROM resolved WHERE is_ref
             )
             SELECT etype, n::BIGINT AS n FROM counts
+        """,
+        "kg_roundtrip": f"""
+            WITH {_Q}
+            SELECT s, p, o, g FROM quads
+        """,
+        "kg_filter_links": f"""
+            WITH {_Q}
+            SELECT '<hk://link/' || md5(s || p || o || g) || '>' AS id,
+                   g AS parent
+            FROM quads WHERE p = '<urn:hk:p/inNation>'
+        """,
+        "kg_remove_cascade": f"""
+            WITH {_Q}, {_NODES_CTE}, {_LITS_CTE},
+            ids AS (
+              SELECT DISTINCT p AS id FROM quads WHERE substr(o, 1, 1) = '<'
+              UNION
+              SELECT DISTINCT g FROM quads WHERE g <> '<hk://id/null>'
+              UNION
+              SELECT id FROM node_parent
+              UNION
+              SELECT '<hk://link/' || md5(s || p || o || g) || '>'
+              FROM quads WHERE substr(o, 1, 1) = '<'
+              UNION
+              SELECT DISTINCT id FROM resolved WHERE is_ref
+            )
+            SELECT id FROM ids
+            WHERE id <> '<urn:hk:nation/0>'
+              AND id NOT IN (
+                SELECT '<hk://link/' || md5(s || p || o || g) || '>'
+                FROM quads
+                WHERE substr(o, 1, 1) = '<'
+                  AND (s = '<urn:hk:nation/0>' OR o = '<urn:hk:nation/0>')
+              )
         """,
         "doc_dedup_exact": """
             WITH h AS (SELECT doc_id AS id, md5(text) AS h FROM documents),
