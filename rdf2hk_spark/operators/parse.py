@@ -88,6 +88,11 @@ class ParseOptions:
     # set when the input has no duplicate (s,p,o,g) statements (e.g. the
     # extraction pipeline dedups upstream): skips the link-dedup shuffle
     assume_distinct_statements: bool = False
+    # hot-entity skew (north_rule): >0 enables two-phase salted property
+    # aggregation — partial per-(entity, prop, salt) combines run on
+    # ``property_salt`` reducers before the final per-key merge, so a hub
+    # entity referenced by a large fraction of documents cannot pin one task
+    property_salt: int = 0
 
     def __post_init__(self) -> None:
         if self.namespace_context:
@@ -364,22 +369,34 @@ def aggregate_properties(lits_resolved: DataFrame, opts: ParseOptions) -> DataFr
         ),
     )
 
-    def _vals(col: str) -> F.Column:
-        # stmt_idx-ordered values, nulls (non-applicable rows) dropped
-        return F.transform(
-            F.sort_array(
-                F.collect_list(
-                    F.when(
-                        F.col(col).isNotNull(), F.struct("stmt_idx", F.col(col))
-                    )
-                )
-            ),
-            lambda x: x[col],
+    def _structs(col: str) -> F.Column:
+        return F.collect_list(
+            F.when(F.col(col).isNotNull(), F.struct("stmt_idx", F.col(col)))
         )
 
-    per_key = l.groupBy("target_id", "prop").agg(
-        _vals("pval").alias("pvals"), _vals("mval").alias("mvals")
-    )
+    def _finish(col: str, structs: F.Column) -> F.Column:
+        # stmt_idx-ordered values, nulls (non-applicable rows) dropped
+        return F.transform(F.sort_array(structs), lambda x: x[col])
+
+    if opts.property_salt and opts.property_salt > 1:
+        # two-phase salted aggregate: the per-(key, salt) partials bound any
+        # single reducer's input; the merge re-sorts by stmt_idx so the
+        # result is identical to the unsalted plan
+        salted = l.withColumn(
+            "_salt", (F.col("stmt_idx") % opts.property_salt).cast("int")
+        )
+        partial = salted.groupBy("target_id", "prop", "_salt").agg(
+            _structs("pval").alias("ps"), _structs("mval").alias("ms")
+        )
+        per_key = partial.groupBy("target_id", "prop").agg(
+            _finish("pval", F.flatten(F.collect_list("ps"))).alias("pvals"),
+            _finish("mval", F.flatten(F.collect_list("ms"))).alias("mvals"),
+        )
+    else:
+        per_key = l.groupBy("target_id", "prop").agg(
+            _finish("pval", _structs("pval")).alias("pvals"),
+            _finish("mval", _structs("mval")).alias("mvals"),
+        )
 
     def _map_of(col: str) -> F.Column:
         entries = F.collect_list(

@@ -190,6 +190,25 @@ def remove_entities(entities: DataFrame, ids: list[str]) -> DataFrame:
     return entities.filter(~F.coalesce(doomed, F.lit(False)))
 
 
+def from_uris(entities: DataFrame, ids: list[str], level: int = 0) -> DataFrame:
+    """Q9 (sparqlfactory.js:342-401): DESCRIBE-style neighborhood fetch.
+    level 0 = the entities themselves; level 1 additionally pulls every link
+    touching them plus the entities those links bind. (The reference's
+    className branch hits an undefined-variable bug at sparqlfactory.js:371;
+    we implement the working subset.)"""
+    base = entities.filter(F.col("id").isin(ids))
+    if level <= 0:
+        return base
+    links = get_links(entities, ids)
+    neighbor_ids = links.select(
+        F.explode("binds").alias("b")
+    ).select(F.col("b.comp").alias("id")).union(
+        links.select(F.col("connector").alias("id"))
+    ).distinct()
+    neighbors = entities.join(neighbor_ids, "id", "left_semi")
+    return base.unionByName(links).unionByName(neighbors).dropDuplicates(["id"])
+
+
 def get_rdf(quads: DataFrame, s=None, p=None, o=None, g=None,
             hide_hk: bool = True) -> DataFrame:
     """Q8 (sparqlfactory.js:954-999): BGP fetch of user triples. Conjunctive
