@@ -65,6 +65,7 @@ def main() -> None:
             ParseOptions(
                 create_context=True, set_node_context=True,
                 assume_distinct_statements=True,  # relation_quads dedups
+                property_salt=16,  # hot-entity skew guard
             ),
         )
         n = ents.count()

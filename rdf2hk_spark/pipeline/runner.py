@@ -132,7 +132,8 @@ def run(
     def build_entities() -> DataFrame:
         quads = _read_stage(spark, out, "quads")
         ents = parse_quads(
-            quads, ParseOptions(create_context=True, set_node_context=True)
+            quads, ParseOptions(create_context=True, set_node_context=True,
+                          assume_distinct_statements=True, property_salt=16)
         )
         # salted bucketing on canonical entity id: hot hubs spread over files
         return ents.withColumn("id_bucket", (md5_int(F.col("id")) % buckets).cast("int"))
