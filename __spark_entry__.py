@@ -154,7 +154,14 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_dedup_exact(spark, sf_dir):
-    return dedup.exact_duplicates(_docs(spark, sf_dir))
+    """Exact dedup over the corpus plus deterministic seeded duplicates (every
+    50th doc re-appears under id+10^6), so the green row verifies real dup
+    groups rather than a vacuous empty set."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    dupes = d.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return dedup.exact_duplicates(d.unionByName(dupes))
 
 
 def q_doc_minhash(spark, sf_dir):
@@ -168,13 +175,27 @@ def q_doc_lsh_pairs(spark, sf_dir):
     return dedup.lsh_candidate_pairs(sig, bands=4, rows_per_band=4, max_bucket=50)
 
 
+_JACCARD_DF_CAP = 100  # max doc-frequency of a shingle used for pair generation
+
+
 def q_doc_jaccard(spark, sf_dir):
-    """Exact n-gram Jaccard for ALL pairs sharing ≥5 shingles (count-join;
-    the LSH path is the scale route, this is the oracle-checkable exact op)."""
+    """Exact n-gram Jaccard for pairs sharing ≥5 *rare* shingles (doc-freq ≤
+    cap). The cap bounds the self-join blow-up: a boilerplate shingle shared
+    by n docs would otherwise emit n² join rows; capped shingles contribute at
+    most cap² each. inter/uni are then computed exactly over ALL shingles of
+    the surviving candidate pairs (the LSH path is the scale route, this is
+    the oracle-checkable exact op)."""
     sh = dedup.word_shingles(_docs(spark, sf_dir), k=3)
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= _JACCARD_DF_CAP)
+        .select("shingle")
+    )
+    shc = sh.join(rare, "shingle")
     pairs = (
-        sh.select(F.col("id").alias("a"), "shingle")
-        .join(sh.select(F.col("id").alias("b"), "shingle"), "shingle")
+        shc.select(F.col("id").alias("a"), "shingle")
+        .join(shc.select(F.col("id").alias("b"), "shingle"), "shingle")
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b").agg(F.count("*").alias("inter"))
         .filter(F.col("inter") >= 5)
@@ -427,7 +448,12 @@ def oracle_sql() -> dict[str, str]:
               )
         """,
         "doc_dedup_exact": """
-            WITH h AS (SELECT doc_id AS id, md5(text) AS h FROM documents),
+            WITH seeded AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0
+            ),
+            h AS (SELECT doc_id AS id, md5(text) AS h FROM seeded),
             g AS (SELECT h, min(id) AS keep_id, count(*) AS n FROM h GROUP BY h)
             SELECT g.keep_id, h.id AS dup_id
             FROM h JOIN g USING (h) WHERE g.n > 1 AND h.id <> g.keep_id
@@ -447,10 +473,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_jaccard": f"""
             WITH {_DOC_SH},
+            rare AS (
+              SELECT shingle FROM sh GROUP BY shingle
+              HAVING count(*) <= {_JACCARD_DF_CAP}
+            ),
+            shc AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
+            cand AS (
+              SELECT sa.id AS a, sb.id AS b
+              FROM shc sa JOIN shc sb ON sa.shingle = sb.shingle AND sa.id < sb.id
+              GROUP BY sa.id, sb.id HAVING count(*) >= 5
+            ),
             inter AS (
               SELECT sa.id AS a, sb.id AS b, count(*) AS inter
               FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.id < sb.id
-              GROUP BY sa.id, sb.id HAVING count(*) >= 5
+              JOIN cand ON cand.a = sa.id AND cand.b = sb.id
+              GROUP BY sa.id, sb.id
             ),
             szs AS (SELECT id, count(*) AS sz FROM sh GROUP BY id)
             SELECT a, b, inter, za.sz + zb.sz - inter AS uni

@@ -127,12 +127,13 @@ def parse_with_simple_owl(
 
     # merge: OWL connectors outrank base NODES with the same id (pass-1 vs
     # pass-2) but lose to base connectors/contexts; refs merge maps with any
-    # base-minted ref of the same id
+    # base-minted ref of the same id. The base row is NOT dropped on an id
+    # collision — its aggregated properties/metaProperties ride onto the
+    # surviving OWL row (reference pass 3 attaches literal statements to the
+    # connector already present in entities, e.g. rdfs:label on an
+    # owl:ObjectProperty).
     base_non_node_ids = base.filter(F.col("type") != C.NODE).select("id")
     conns = conns.join(base_non_node_ids, "id", "left_anti")
-    base2 = base.join(
-        F.broadcast(conns.select("id")), "id", "left_anti"
-    )
 
     for col, typ in [
         ("binds", "array<struct<role:string, comp:string, anchor:string>>"),
@@ -146,12 +147,15 @@ def parse_with_simple_owl(
         if col not in refs.columns:
             refs = refs.withColumn(col, F.lit(None).cast(typ))
 
+    # explicit branch priority (parse_quads' _prio ladder pattern): OWL rows
+    # (0) define the entity shape; base rows (1) contribute properties that
+    # OWL keys override. Deterministic under any shuffle arrival order.
     merged = (
-        base2.select(*ENTITY_COLUMNS)
-        .unionByName(conns.select(*ENTITY_COLUMNS))
-        .unionByName(refs.select(*ENTITY_COLUMNS))
+        conns.select(*ENTITY_COLUMNS).withColumn("_prio", F.lit(0))
+        .unionByName(refs.select(*ENTITY_COLUMNS).withColumn("_prio", F.lit(0)))
+        .unionByName(base.select(*ENTITY_COLUMNS).withColumn("_prio", F.lit(1)))
     )
-    # a ref id may exist on both sides (base A6 + owl) → merge property maps
+
     def merge_va(base_m: F.Column, upd_m: F.Column) -> F.Column:
         empty = F.from_json(F.lit("{}"), "map<string,array<string>>")
         b = F.coalesce(base_m, empty)
@@ -160,22 +164,24 @@ def parse_with_simple_owl(
         out = F.map_concat(kept, u)
         return F.when(F.size(F.map_keys(out)) > 0, out)
 
+    shape_cols = [
+        c for c in ENTITY_COLUMNS if c not in ("id", "properties", "metaProperties")
+    ]
     dup = merged.groupBy("id").agg(
-        F.min_by(
-            F.struct(*[c for c in ENTITY_COLUMNS if c != "id"]), F.lit(1)
-        ).alias("first"),
-        F.count("*").alias("n"),
-        F.try_element_at(F.collect_list("properties"), F.lit(-1)).alias("last_props"),
-        F.try_element_at(F.collect_list("metaProperties"), F.lit(-1)).alias("last_metas"),
+        F.min_by(F.struct(*shape_cols), F.col("_prio")).alias("shape"),
+        # per-id there is at most one row per priority (base emits one row per
+        # id; conns/refs are grouped); min_by/max_by on _prio are therefore
+        # exact selectors, and when only one row exists lo == hi (merge is a
+        # no-op).
+        F.max_by("properties", F.col("_prio")).alias("lo_props"),
+        F.min_by("properties", F.col("_prio")).alias("hi_props"),
+        F.max_by("metaProperties", F.col("_prio")).alias("lo_metas"),
+        F.min_by("metaProperties", F.col("_prio")).alias("hi_metas"),
     )
     out = dup.select(
         "id",
-        *[F.col(f"first.{c}").alias(c) for c in ENTITY_COLUMNS if c not in ("id", "properties", "metaProperties")],
-        F.when(
-            F.col("n") > 1, merge_va(F.col("first.properties"), F.col("last_props"))
-        ).otherwise(F.col("first.properties")).alias("properties"),
-        F.when(
-            F.col("n") > 1, merge_va(F.col("first.metaProperties"), F.col("last_metas"))
-        ).otherwise(F.col("first.metaProperties")).alias("metaProperties"),
+        *[F.col(f"shape.{c}").alias(c) for c in shape_cols],
+        merge_va(F.col("lo_props"), F.col("hi_props")).alias("properties"),
+        merge_va(F.col("lo_metas"), F.col("hi_metas")).alias("metaProperties"),
     )
     return out.select(*ENTITY_COLUMNS)

@@ -818,7 +818,8 @@ def parse_quads(
         doomed = resolved.join(ref_targets, "id", "left_semi").filter(
             (~F.col("parent_defined")) & (F.col("type") != C.CONNECTOR)
         ).select("id")
-        resolved = resolved.join(F.broadcast(doomed), "id", "left_anti")
+        # doomed is an unbounded ref-target set — let AQE choose the strategy
+        resolved = resolved.join(doomed, "id", "left_anti")
 
     out = resolved.drop("properties", "metaProperties").join(props, "id", "left")
     for name, typ in [

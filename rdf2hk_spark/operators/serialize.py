@@ -475,14 +475,16 @@ def serialize_entities(
     ).select(
         "id", "connector", "parent", "s_comp", F.col("ob.comp").alias("o_comp")
     )
-    # reference substitution (serializer.js:202-211)
+    # reference substitution (serializer.js:202-211). ref_map is O(#Reference
+    # entities) — unbounded in a per-document-context corpus — so no forced
+    # broadcast: AQE picks broadcast only when the build side is actually small.
     cross = (
         cross.join(
-            F.broadcast(ref_map.withColumnRenamed("rm_id", "s_comp").withColumnRenamed("rm_ref", "s_ref")),
+            ref_map.withColumnRenamed("rm_id", "s_comp").withColumnRenamed("rm_ref", "s_ref"),
             "s_comp", "left",
         )
         .join(
-            F.broadcast(ref_map.withColumnRenamed("rm_id", "o_comp").withColumnRenamed("rm_ref", "o_ref")),
+            ref_map.withColumnRenamed("rm_id", "o_comp").withColumnRenamed("rm_ref", "o_ref"),
             "o_comp", "left",
         )
     )

@@ -28,6 +28,35 @@ def _dot(a, b) -> F.Column:
     )
 
 
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    """Bounded two-phase top-k over (q_id, cand_id, score_e4) rows.
+
+    Phase 1 groups by (q_id, input partition) and keeps only the per-partition
+    top-k, so no aggregation buffer ever holds more rows than one input
+    partition and the shuffle carries ≤ k rows per (query, partition) instead
+    of the whole corpus's scores. Phase 2 merges the ≤ k·P survivors per
+    query. Exact: every global top-k row is in its partition's local top-k.
+    Ties break by cand_id (total order), so the result is deterministic
+    regardless of partitioning."""
+    item = F.struct((-F.col("score_e4")).alias("neg"), "cand_id", "score_e4")
+    partial = (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .groupBy("q_id", "_pid")
+        .agg(F.slice(F.sort_array(F.collect_list(item)), 1, k).alias("top"))
+    )
+    merged = (
+        partial.select("q_id", F.explode("top").alias("t"))
+        .groupBy("q_id")
+        .agg(F.slice(F.sort_array(F.collect_list("t")), 1, k).alias("top"))
+    )
+    return merged.select("q_id", F.posexplode("top").alias("r0", "t")).select(
+        "q_id",
+        (F.col("r0") + 1).cast("int").alias("rank"),
+        F.col("t.cand_id").alias("cand_id"),
+        F.col("t.score_e4").alias("score_e4"),
+    )
+
+
 def cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -52,23 +81,7 @@ def cosine_topk(
             F.round(_dot(F.col("q_vec"), F.col("c_vec")) * 1e4).cast("long").alias("score_e4"),
         )
     )
-    ranked = scored.groupBy("q_id").agg(
-        F.slice(
-            F.sort_array(
-                F.collect_list(F.struct((-F.col("score_e4")).alias("neg"), "cand_id", "score_e4"))
-            ),
-            1,
-            k,
-        ).alias("top")
-    )
-    return ranked.select(
-        "q_id", F.posexplode("top").alias("r0", "t")
-    ).select(
-        "q_id",
-        (F.col("r0") + 1).cast("int").alias("rank"),
-        F.col("t.cand_id").alias("cand_id"),
-        F.col("t.score_e4").alias("score_e4"),
-    )
+    return _topk(scored, k)
 
 
 def lsh_buckets(
@@ -131,18 +144,4 @@ def ann_topk_lsh(
             F.round(_dot(F.col("q_vec"), F.col("c_vec")) * 1e4).cast("long").alias("score_e4"),
         )
     )
-    ranked = scored.groupBy("q_id").agg(
-        F.slice(
-            F.sort_array(
-                F.collect_list(F.struct((-F.col("score_e4")).alias("neg"), "cand_id", "score_e4"))
-            ),
-            1,
-            k,
-        ).alias("top")
-    )
-    return ranked.select("q_id", F.posexplode("top").alias("r0", "t")).select(
-        "q_id",
-        (F.col("r0") + 1).cast("int").alias("rank"),
-        F.col("t.cand_id").alias("cand_id"),
-        F.col("t.score_e4").alias("score_e4"),
-    )
+    return _topk(scored, k)

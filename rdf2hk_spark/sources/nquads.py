@@ -25,16 +25,63 @@ _TERM = r"""(<[^>]*>|_:[^\s]+|"(?:[^"\\]|\\.)*"(?:@[A-Za-z0-9-]+|\^\^<[^>]*>)?)"
 _LINE_RE = rf"^\s*{_TERM}\s+{_TERM}\s+{_TERM}(?:\s+{_TERM})?\s*\.\s*$"
 
 
+# one unescape token: surrogate-pair \uXXXX\uXXXX first (must decode as one
+# astral char), then single \uXXXX, \UXXXXXXXX, any 2-char escape, or a run of
+# escape-free text. Single-pass tokenization keeps ordering correct (e.g.
+# "\\\\n" is escaped-backslash + 'n', not backslash + newline).
+_UNESCAPE_TOKEN_RE = (
+    r"(\\u[Dd][89ABab][0-9A-Fa-f]{2}\\u[Dd][CcDdEeFf][0-9A-Fa-f]{2}"
+    r"|\\u[0-9A-Fa-f]{4}"
+    r"|\\U[0-9A-Fa-f]{8}"
+    r"|\\."
+    r"|[^\\]+)"
+)
+
+
+def _utf16be_char(hexs):
+    """Hex UTF-16BE code units → the decoded string (JVM-side)."""
+    return F.decode(F.unhex(hexs), "UTF-16BE")
+
+
+def _codepoint_utf16_hex(cp):
+    """Codepoint (long Column) → its UTF-16BE hex (surrogate pair when
+    astral), so \\UXXXXXXXX decodes without a UTF-32 charset."""
+    off = cp - F.lit(0x10000)
+    hi = F.lit(0xD800) + F.shiftright(off, 10)
+    lo = F.lit(0xDC00) + off.bitwiseAND(F.lit(0x3FF))
+    pair = F.concat(F.lpad(F.hex(hi), 4, "0"), F.lpad(F.hex(lo), 4, "0"))
+    return F.when(cp > 0xFFFF, pair).otherwise(F.lpad(F.hex(cp), 4, "0"))
+
+
 def _unescape(col):
-    """N-Triples string unescapes (jsongraph.js:136-195 subset): \\" \\\\ \\n
-    \\r \\t and \\uXXXX."""
-    c = F.regexp_replace(col, r'\\"', '"')
-    c = F.regexp_replace(c, r"\\n", "\n")
-    c = F.regexp_replace(c, r"\\r", "\r")
-    c = F.regexp_replace(c, r"\\t", "\t")
-    # \uXXXX — rare in our corpora; decoded via a codepoint rebuild
-    c = F.regexp_replace(c, r"\\\\", "\\\\")
-    return c
+    """N-Triples string unescapes (jsongraph.js:136-195): \\" \\' \\\\ \\n
+    \\r \\t \\b \\f, \\uXXXX (incl. surrogate pairs) and \\UXXXXXXXX —
+    single-pass, pure Column expressions."""
+    toks = F.regexp_extract_all(col, F.lit(_UNESCAPE_TOKEN_RE), 1)
+
+    def decode_tok(t):
+        cp8 = F.conv(F.substring(t, 3, 8), 16, 10).cast("long")
+        return (
+            F.when(
+                t.rlike(r"^\\u[Dd][89ABab]") & (F.length(t) == 12),
+                _utf16be_char(F.concat(F.substring(t, 3, 4), F.substring(t, 9, 4))),
+            )
+            .when(t.startswith("\\u"), _utf16be_char(F.substring(t, 3, 4)))
+            .when(t.startswith("\\U"), _utf16be_char(_codepoint_utf16_hex(cp8)))
+            .when(t == '\\"', F.lit('"'))
+            .when(t == "\\'", F.lit("'"))
+            .when(t == "\\\\", F.lit("\\"))
+            .when(t == "\\n", F.lit("\n"))
+            .when(t == "\\r", F.lit("\r"))
+            .when(t == "\\t", F.lit("\t"))
+            .when(t == "\\b", F.lit("\b"))
+            .when(t == "\\f", F.lit("\f"))
+            # unknown escape: lenient, keep the escaped char
+            .when(t.startswith("\\"), F.substring(t, 2, 1))
+            .otherwise(t)
+        )
+
+    return F.array_join(F.transform(toks, decode_tok), "")
 
 
 def read_nquads(spark: SparkSession, path: str, default_graph: str = C.HK_NULL_URI) -> DataFrame:

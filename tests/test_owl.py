@@ -67,3 +67,52 @@ def test_user_statements_untouched_and_imports_passes(entities):
     # the object-property typing did NOT create Person/knownBy base nodes from
     # consumed statements... domain/range objects only live in ref properties
     assert "<http://v/Person>" not in entities
+
+
+@pytest.fixture(scope="module")
+def collision_entities(spark):
+    """Subjects that collide across the base and OWL branches: a connector
+    that also carries plain literal statements (reference pass 3 attaches
+    them to the existing connector), and a ref id minted by BOTH base A6 and
+    the OWL path (same (graph, subject))."""
+    g1, g2 = "<http://g/one>", "<http://g/two>"
+    s = "<http://v/knows>"
+    rows = [
+        (0, s, C.RDF_TYPE_URI, f"<{OWL}ObjectProperty>", g1),
+        # non-OWL literal on the connector subject in its own parent graph →
+        # base node props must survive onto the OWL connector
+        (1, s, "<http://purl.org/dc/title>", '"Knows"@en', g1),
+        # same (g2, s) ref minted by base A6 (literal, parent≠g2) and by the
+        # OWL path (rdfs:domain) — property maps must merge deterministically
+        (2, s, "<http://www.w3.org/2000/01/rdf-schema#domain>",
+         "<http://v/Person>", g2),
+        (3, s, "<http://purl.org/dc/creator>", '"Bob"@en', g2),
+    ]
+    quads = spark.createDataFrame(rows, QUAD_SCHEMA)
+    df = parse_with_simple_owl(
+        quads, ParseOptions(create_context=True, set_node_context=True)
+    )
+    return {r["id"]: r.asDict(recursive=True) for r in df.collect()}
+
+
+def test_connector_keeps_base_literal_properties(collision_entities):
+    c = collision_entities["<http://v/knows>"]
+    assert c["type"] == C.CONNECTOR and c["className"] == C.FACTS
+    assert c["properties"]["<http://purl.org/dc/title>"] == ['"Knows"@en']
+
+
+def test_colliding_ref_merges_base_and_owl_props(collision_entities):
+    import hashlib, urllib.parse
+
+    q = lambda x: urllib.parse.quote(x, safe="-_.!~*'()")
+    rid = "<hk://ref/" + hashlib.md5(
+        (q("<http://g/two>") + "/" + q("<http://v/knows>")).encode()
+    ).hexdigest() + ">"
+    ref = collision_entities[rid]
+    assert ref["type"] == C.REFERENCE and ref["ref"] == "<http://v/knows>"
+    # base-side literal property survives...
+    assert ref["properties"]["<http://purl.org/dc/creator>"] == ['"Bob"@en']
+    # ...and the OWL-side statement property rides the same entity
+    assert ref["properties"][
+        "<http://www.w3.org/2000/01/rdf-schema#domain>"
+    ] == ["<http://v/Person>"]

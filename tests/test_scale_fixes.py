@@ -1,0 +1,101 @@
+"""Scale-hazard regressions flagged in round 1: bounded two-phase top-k,
+non-vacuous exact dedup, and \\uXXXX literal unescapes."""
+
+import pytest
+from pyspark.sql import functions as F, Window
+
+from rdf2hk_spark.ops import dedup, similarity
+from rdf2hk_spark.sources import nquads
+
+
+def _synth_embeddings(spark, n, dim=4):
+    """Deterministic unit-free synthetic vectors (values in [0,1))."""
+    return spark.range(n).select(
+        F.col("id").cast("int").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: ((F.col("id") * 31 + d * 17) % 97).cast("float") / 97.0,
+        ).alias("embedding"),
+    )
+
+
+def test_topk_two_phase_matches_window_reference(spark):
+    e = _synth_embeddings(spark, 200).repartition(16)
+    q = e.filter(F.col("vec_id") < 5)
+    got = similarity.cosine_topk(e, q, k=7)
+
+    # independent reference: full scores ranked with a window function
+    scored = (
+        e.selectExpr("vec_id as cand_id", "embedding as c_vec")
+        .crossJoin(q.selectExpr("vec_id as q_id", "embedding as q_vec"))
+        .filter("cand_id != q_id")
+        .select(
+            "q_id", "cand_id",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        "q_vec", "c_vec",
+                        lambda x, y: x.cast("double") * y.cast("double"),
+                    ),
+                    F.lit(0.0), lambda a, v: a + v,
+                ) * 1e4
+            ).cast("long").alias("score_e4"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score_e4"), F.asc("cand_id"))
+    ref = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 7)
+        .select("q_id", F.col("rank").cast("int").alias("rank"), "cand_id", "score_e4")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+
+
+def test_topk_skew_one_query_many_candidates(spark):
+    """1 query × 10^6 candidates: the per-group aggregation state is bounded
+    by the partition top-k, so a single hot query cannot pin one reducer with
+    the whole corpus's scores."""
+    e = _synth_embeddings(spark, 1_000_000).repartition(32)
+    q = _synth_embeddings(spark, 1)
+    got = similarity.cosine_topk(e, q, k=10).collect()
+    assert len(got) == 10
+    assert [r["rank"] for r in sorted(got, key=lambda r: r["rank"])] == list(range(1, 11))
+    scores = [r["score_e4"] for r in sorted(got, key=lambda r: r["rank"])]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_exact_dedup_non_vacuous(spark):
+    d = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other"), (4, "same text")],
+        "doc_id int, text string",
+    )
+    got = {(r["keep_id"], r["dup_id"]) for r in dedup.exact_duplicates(d).collect()}
+    assert got == {(1, 2), (1, 4)}
+
+
+@pytest.mark.parametrize(
+    "escaped,expected",
+    [
+        (r"caf\u00E9", "café"),
+        (r"\uD83D\uDE00 face", "\N{GRINNING FACE} face"),  # surrogate pair
+        (r"astral \U0001F600", "astral \U0001f600"),        # 8-hex form
+        (r"tab\there", "tab\there"),
+        (r"bs\\nliteral", "bs\\nliteral"),                  # \\ then n, NOT newline
+        (r"q\"uote", 'q"uote'),
+    ],
+)
+def test_unescape_literals(spark, escaped, expected):
+    df = spark.createDataFrame([(f'"{escaped}"',)], "o string")
+    got = df.select(
+        nquads._unescape_literal(F.col("o")).alias("o")
+    ).collect()[0]["o"]
+    assert got == f'"{expected}"'
+
+
+def test_nquads_read_decodes_u_escapes(spark, tmp_path):
+    p = tmp_path / "u.nq"
+    p.write_text(
+        '<http://a> <http://p> "caf\\u00E9 \\uD83D\\uDE00" .\n'
+    )
+    q = nquads.read_nquads(spark, str(p))
+    assert q.collect()[0]["o"] == '"café \U0001f600"'
