@@ -26,17 +26,25 @@ from rdf2hk_spark.plans import query as plans_query
 from rdf2hk_spark.sources import tpch_kg
 
 KG_OPTS = ParseOptions(create_context=True, set_node_context=True)
+TLN_OPTS = ParseOptions(
+    create_context=True, set_node_context=True, text_literal_as_node=True
+)
 
-_ENTITY_CACHE: dict[str, DataFrame] = {}
+_ENTITY_CACHE: dict[tuple[str, bool], DataFrame] = {}
 
 
-def _entities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Parse the corpus once per sf_dir and persist; every query projects from
-    the same cached entities DataFrame (the driver runs queries one by one)."""
-    df = _ENTITY_CACHE.get(sf_dir)
+def _entities(
+    spark: SparkSession, sf_dir: str, text_literal_as_node: bool = False
+) -> DataFrame:
+    """Parse the corpus once per (sf_dir, options) and persist; every query
+    projects from the same cached entities DataFrame (the driver runs queries
+    one by one)."""
+    key = (sf_dir, text_literal_as_node)
+    df = _ENTITY_CACHE.get(key)
     if df is None:
-        df = parse_quads(tpch_kg.quads_df(spark, sf_dir), KG_OPTS).persist()
-        _ENTITY_CACHE[sf_dir] = df
+        opts = TLN_OPTS if text_literal_as_node else KG_OPTS
+        df = parse_quads(tpch_kg.quads_df(spark, sf_dir), opts).persist()
+        _ENTITY_CACHE[key] = df
     return df
 
 
@@ -139,6 +147,34 @@ def q_kg_remove_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         _entities(spark, sf_dir), ["<urn:hk:nation/0>"]
     )
     return out.select("id")
+
+
+def q_kg_text_literal_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 textLiteralAsNode: every text literal becomes a content node
+    ``<hk://node/md5(value)>`` carrying the value as data."""
+    e = _entities(spark, sf_dir, text_literal_as_node=True)
+    return e.filter(
+        (F.col("type") == C.NODE) & F.col("id").startswith("<hk://node/")
+    ).select(
+        "id", "parent",
+        F.element_at(F.element_at("properties", "data"), 1).alias("data"),
+    )
+
+
+def q_kg_text_literal_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 spo links: subject → content node, tagged data#Literal (default
+    metaproperty encoding)."""
+    e = _entities(spark, sf_dir, text_literal_as_node=True)
+    tagged = e.filter(
+        (F.col("type") == C.LINK)
+        & F.col("metaProperties").isNotNull()
+        & F.map_contains_key("metaProperties", F.lit(C.DATA_LITERAL_URI))
+    )
+    subj = F.filter("binds", lambda b: b["role"] == "subject")[0]["comp"]
+    obj = F.filter("binds", lambda b: b["role"] == "object")[0]["comp"]
+    return tagged.select(
+        "id", "connector", "parent", subj.alias("subj"), obj.alias("obj")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -246,6 +282,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_roundtrip": q_kg_roundtrip,
         "kg_filter_links": q_kg_filter_links,
         "kg_remove_cascade": q_kg_remove_cascade,
+        "kg_text_literal_nodes": q_kg_text_literal_nodes,
+        "kg_text_literal_links": q_kg_text_literal_links,
         "doc_dedup_exact": q_doc_dedup_exact,
         "doc_minhash": q_doc_minhash,
         "doc_lsh_pairs": q_doc_lsh_pairs,
@@ -303,8 +341,26 @@ resolved AS (
               ELSE '<hk://ref/' || md5({_ESC_G} || '/' || {_ESC_S}) || '>'
          END AS id,
          (l.g <> '<hk://id/null>' AND np.parent IS DISTINCT FROM l.g) AS is_ref,
-         l.s AS src, l.g AS gg, l.p AS prop, l.o AS o, l.stmt_idx AS stmt_idx
+         l.s AS src, l.g AS gg, l.p AS prop, l.o AS o, l.stmt_idx AS stmt_idx,
+         np.parent AS subj_parent
   FROM lits l LEFT JOIN node_parent np ON np.id = l.s
+)
+"""
+
+# A7 text literals: literal statements whose value stays a JS string — in this
+# corpus every typed literal is a numeric xsd:integer (converted to a number),
+# so text = lang-tagged (value keeps the '"v"@lang' form) + plain strings.
+# ep = the target entity's parent: the statement graph for refs, the subject
+# node's own parent for direct attaches.
+_TEXT_CTE = """
+txt AS (
+  SELECT r.id AS target_id,
+         CASE WHEN r.is_ref THEN r.gg ELSE r.subj_parent END AS ep,
+         r.prop AS prop, r.stmt_idx AS stmt_idx,
+         CASE WHEN r.o LIKE '%@en' THEN r.o
+              ELSE substr(r.o, 2, length(r.o) - 2) END AS value
+  FROM resolved r
+  WHERE substr(r.o, length(r.o), 1) <> '>'
 )
 """
 
@@ -446,6 +502,22 @@ def oracle_sql() -> dict[str, str]:
                 WHERE substr(o, 1, 1) = '<'
                   AND (s = '<urn:hk:nation/0>' OR o = '<urn:hk:nation/0>')
               )
+        """,
+        "kg_text_literal_nodes": f"""
+            WITH {_Q}, {_NODES_CTE}, {_LITS_CTE}, {_TEXT_CTE}
+            SELECT '<hk://node/' || md5(value) || '>' AS id,
+                   NULLIF(arg_min(coalesce(ep, ''), stmt_idx), '') AS parent,
+                   value AS data
+            FROM txt GROUP BY value
+        """,
+        "kg_text_literal_links": f"""
+            WITH {_Q}, {_NODES_CTE}, {_LITS_CTE}, {_TEXT_CTE}
+            SELECT DISTINCT
+                   '<hk://link/' || md5(target_id || prop || value
+                                        || coalesce(ep, 'null')) || '>' AS id,
+                   prop AS connector, ep AS parent, target_id AS subj,
+                   '<hk://node/' || md5(value) || '>' AS obj
+            FROM txt
         """,
         "doc_dedup_exact": """
             WITH seeded AS (

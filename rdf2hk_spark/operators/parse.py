@@ -316,21 +316,15 @@ def create_references(lits_resolved: DataFrame, opts: ParseOptions) -> DataFrame
     )
 
 
-def aggregate_properties(lits_resolved: DataFrame, opts: ParseOptions) -> DataFrame:
-    """A5 (parser.js:312-371,399-525): literal statements → per-entity
-    properties / metaProperties maps, values in statement order.
+def _with_value_cols(l: DataFrame) -> DataFrame:
+    """Annotate resolved literal rows with the decoded property value and the
+    classification flags shared by A5 aggregation and A7 text-literal nodes.
 
-    Value encoding parity (parser.js:399-421 + utils.js:220-264):
-      - lang literal  → ``"v"@lang`` (re-encoded into the value string)
-      - numeric xsd   → JS ``Number().toString()`` canonical form
-      - boolean xsd   → 'true' / 'false'
-      - anything else → bare inner value string
-      - value ``"<hk://id/null>"^^<T>`` (after conversion) sets ONLY a
-        metaProperty (parser.js:410-420)
-    """
-    if opts.only_hk:
-        lits_resolved = lits_resolved.filter(~F.col("needs_ref"))
-    l = lits_resolved
+    ``value`` encoding parity (parser.js:399-421 + utils.js:220-264); see
+    aggregate_properties. ``is_text`` = the JS ``typeof value === 'string'``
+    test at parser.js:411/423: true unless the value converted to a number or
+    boolean (lang re-encoding always yields a string) or is the meta-only
+    hk-null escape."""
     value = (
         F.when(
             F.col("lit_lang").isNotNull() & (F.col("lit_lang") != ""),
@@ -368,6 +362,60 @@ def aggregate_properties(lits_resolved: DataFrame, opts: ParseOptions) -> DataFr
             T.id_from_resource("lit_dtype"),
         ),
     )
+    is_lang = F.col("lit_lang").isNotNull() & (F.col("lit_lang") != "")
+    converted = (
+        F.col("lit_dtype").isin(C.NUMBER_DATATYPES) & F.col("num_str").isNotNull()
+    ) | (
+        (F.col("lit_dtype") == C.XSD_BOOLEAN_URI)
+        & F.col("lit_value").isin("true", "false")
+    )
+    return l.withColumn(
+        "is_text", ~F.col("is_meta_only") & (is_lang | ~converted)
+    )
+
+
+def aggregate_properties(lits_resolved: DataFrame, opts: ParseOptions) -> DataFrame:
+    """A5 (parser.js:312-371,399-525): literal statements → per-entity
+    properties / metaProperties maps, values in statement order.
+
+    Value encoding parity (parser.js:399-421 + utils.js:220-264):
+      - lang literal  → ``"v"@lang`` (re-encoded into the value string)
+      - numeric xsd   → JS ``Number().toString()`` canonical form
+      - boolean xsd   → 'true' / 'false'
+      - anything else → bare inner value string
+      - value ``"<hk://id/null>"^^<T>`` (after conversion) sets ONLY a
+        metaProperty (parser.js:410-420)
+    """
+    if opts.only_hk:
+        lits_resolved = lits_resolved.filter(~F.col("needs_ref"))
+    l = _with_value_cols(lits_resolved)
+    if opts.text_literal_as_node:
+        # A7 (parser.js:422-443): text-literal statements do not become plain
+        # properties — the subject gets a single data#Literal tag (property or
+        # metaProperty by encoding) whose value is the LAST predicate id
+        # (setProperty overwrite semantics), and the statement's value moves
+        # into a content node + spo link (text_literal_entities)
+        lit_key = T.id_from_resource(F.lit(C.DATA_LITERAL_URI))
+        as_prop = opts.text_literal_as_node_encoding == "property"
+        tag = F.col("p_id")
+        none = F.lit(None).cast("string")
+        l = (
+            l.withColumn(
+                "prop", F.when(F.col("is_text"), lit_key).otherwise(F.col("prop"))
+            )
+            .withColumn(
+                "pval",
+                F.when(F.col("is_text"), tag if as_prop else none).otherwise(
+                    F.col("pval")
+                ),
+            )
+            .withColumn(
+                "mval",
+                F.when(F.col("is_text"), none if as_prop else tag).otherwise(
+                    F.col("mval")
+                ),
+            )
+        )
 
     def _structs(col: str) -> F.Column:
         return F.collect_list(
@@ -398,6 +446,20 @@ def aggregate_properties(lits_resolved: DataFrame, opts: ParseOptions) -> DataFr
             _finish("mval", _structs("mval")).alias("mvals"),
         )
 
+    if opts.text_literal_as_node:
+        # setProperty / setMetaProperty overwrite: the data#Literal tag keeps
+        # only the LAST statement's predicate id (parser.js:430-436)
+        lit_key = T.id_from_resource(F.lit(C.DATA_LITERAL_URI))
+
+        def _last(col: str) -> F.Column:
+            return F.when(
+                F.col("prop") == lit_key, F.slice(F.col(col), -1, 1)
+            ).otherwise(F.col(col))
+
+        per_key = per_key.withColumn("pvals", _last("pvals")).withColumn(
+            "mvals", _last("mvals")
+        )
+
     def _map_of(col: str) -> F.Column:
         entries = F.collect_list(
             F.when(F.size(F.col(col)) > 0, F.struct("prop", F.col(col)))
@@ -408,6 +470,168 @@ def aggregate_properties(lits_resolved: DataFrame, opts: ParseOptions) -> DataFr
         _map_of("pvals").alias("properties"),
         _map_of("mvals").alias("metaProperties"),
     ).select(F.col("target_id").alias("id"), "properties", "metaProperties")
+
+
+def text_literal_entities(lits_resolved: DataFrame, opts: ParseOptions) -> DataFrame:
+    """A7 textLiteralAsNode (parser.js:422-516): every text-literal statement
+    (s, p, "v", g) resolved to target entity E (node/ref/connector) mints:
+
+      - a content Node ``<hk://node/md5(v)>`` (parent = E.parent, properties
+        mimeType/data) — first creator wins, existing ids win over it;
+      - a FACTS connector for p (loses to pass-1 connectors, overwrites
+        nodes/contexts — JS ``entities[id] = connector``);
+      - an spo Link ``md5(E.id + p + v + E.parent)`` binding E → content node,
+        tagged data#Literal → p (property or metaProperty by encoding);
+      - the rdf:type HIERARCHY connector, the data#Literal type Node (parent
+        null), a per-context Reference to it, and a type Link content-node →
+        data#Literal (object bind = the context Reference when E.parent is a
+        real context).
+
+    Returns ENTITY_COLUMNS + ``_prio`` for the caller's overwrite merge:
+    10 = JS unconditional ``entities[id] =`` writes (links, pred connector),
+    15 = type connector ("if absent in connectors", must lose to the pred
+    connector when p IS rdf:type), 80 = "if absent in entities" creations.
+    """
+    l = _with_value_cols(lits_resolved).filter(F.col("is_text"))
+    if opts.only_hk:
+        l = l.filter(~F.col("needs_ref"))
+    lit_key = T.id_from_resource(F.lit(C.DATA_LITERAL_URI))
+    as_prop = opts.text_literal_as_node_encoding == "property"
+    l = l.withColumn(
+        "entity_parent",
+        F.when(F.col("needs_ref"), F.col("parent")).otherwise(F.col("e_parent")),
+    ).withColumn("content_id", T.create_content_node_uri(F.col("value")))
+    ctx_ok = (
+        F.col("entity_parent").isNotNull()
+        & (F.col("entity_parent") != "null")
+        & (F.col("entity_parent") != C.HK_NULL_URI)
+    )
+    type_ref_id = T.create_ref_uri(lit_key, F.col("entity_parent"))
+    tag_map = F.create_map(lit_key, F.array(F.col("p_id")))
+    no_map = F.lit(None).cast("map<string,array<string>>")
+    roles_map = F.create_map(
+        F.lit(opts.subject_label), F.lit(C.ROLE_SUBJECT),
+        F.lit(opts.object_label), F.lit(C.ROLE_OBJECT),
+    )
+
+    def bind(role: str, comp: Column) -> Column:
+        return F.struct(
+            F.lit(role).alias("role"), comp.alias("comp"),
+            F.lit(C.LAMBDA).alias("anchor"),
+        )
+
+    content = (
+        l.groupBy("content_id")
+        .agg(F.min_by(F.struct("entity_parent", "value"), "stmt_idx").alias("e"))
+        .select(
+            F.col("content_id").alias("id"),
+            F.col("e.entity_parent").alias("parent"),
+            F.create_map(
+                F.lit("mimeType"), F.array(F.lit("plain/text")),
+                F.lit("data"), F.array(F.col("e.value")),
+            ).alias("properties"),
+        )
+    )
+    pred_conn = l.select(F.col("p_id").alias("id")).distinct().select(
+        "id", F.lit(C.FACTS).alias("className"), roles_map.alias("roles")
+    )
+    type_conn = l.select(
+        T.id_from_resource(F.lit(C.RDF_TYPE_URI)).alias("id"),
+        F.lit(C.HIERARCHY).alias("className"), roles_map.alias("roles"),
+    ).limit(1)
+    type_node = l.select(lit_key.alias("id")).limit(1)
+    type_refs = (
+        l.filter(ctx_ok)
+        .select("entity_parent").distinct()
+        .select(
+            T.create_ref_uri(lit_key, F.col("entity_parent")).alias("id"),
+            lit_key.alias("ref"), F.col("entity_parent").alias("parent"),
+        )
+    )
+    spo_links = (
+        l.select(
+            T.create_spo_uri(
+                F.col("target_id"), F.col("p"), F.col("value"),
+                F.col("entity_parent"),
+            ).alias("id"),
+            F.col("p_id").alias("connector"),
+            F.col("entity_parent").alias("parent"),
+            F.array(
+                bind(opts.subject_label, F.col("target_id")),
+                bind(opts.object_label, F.col("content_id")),
+            ).alias("binds"),
+            (tag_map if as_prop else no_map).alias("properties"),
+            (no_map if as_prop else tag_map).alias("metaProperties"),
+            "stmt_idx",
+        )
+        .groupBy("id")
+        .agg(
+            F.min_by(
+                F.struct("connector", "parent", "binds", "properties", "metaProperties"),
+                "stmt_idx",
+            ).alias("e")
+        )
+        .select("id", "e.connector", "e.parent", "e.binds", "e.properties",
+                "e.metaProperties")
+    )
+    type_links = (
+        l.select(
+            T.create_spo_uri(
+                F.col("content_id"), F.lit(C.RDF_TYPE_URI),
+                F.lit(C.DATA_LITERAL_URI), F.col("entity_parent"),
+            ).alias("id"),
+            T.id_from_resource(F.lit(C.RDF_TYPE_URI)).alias("connector"),
+            F.col("entity_parent").alias("parent"),
+            F.array(
+                bind(opts.subject_label, F.col("content_id")),
+                bind(opts.object_label, F.when(ctx_ok, type_ref_id).otherwise(lit_key)),
+            ).alias("binds"),
+            "stmt_idx",
+        )
+        .groupBy("id")
+        .agg(F.min_by(F.struct("connector", "parent", "binds"), "stmt_idx").alias("e"))
+        .select("id", "e.connector", "e.parent", "e.binds")
+    )
+
+    parts = [
+        (_as_entities(spo_links, C.LINK), 10),
+        (_as_entities(type_links, C.LINK), 10),
+        (_as_entities(pred_conn, C.CONNECTOR), 10),
+        (_as_entities(type_conn, C.CONNECTOR), 15),
+        (_as_entities(content, C.NODE), 80),
+        (_as_entities(type_node, C.NODE), 80),
+        (_as_entities(type_refs, C.REFERENCE), 80),
+    ]
+    out = None
+    for df, pr in parts:
+        for name, typ in [
+            ("properties", "map<string,array<string>>"),
+            ("metaProperties", "map<string,array<string>>"),
+        ]:
+            if name not in df.columns:
+                df = df.withColumn(name, F.lit(None).cast(typ))
+        df = df.select(*ENTITY_COLUMNS).withColumn("_prio", F.lit(pr))
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+def merge_text_literal_extras(out: DataFrame, extras: DataFrame) -> DataFrame:
+    """Overwrite-merge A7 extras into the finished entity set. Base rows get
+    priority 0 (connectors — pass-1 connectors beat everything, parser.js:
+    376-379) or 20 (everything else); extras carry their own _prio (10/15/80),
+    so JS dict-overwrite order is reproduced deterministically."""
+    base = out.withColumn(
+        "_prio",
+        F.when(F.col("type") == C.CONNECTOR, F.lit(0)).otherwise(F.lit(20)),
+    )
+    u = base.unionByName(extras)
+    fields = [c for c in ENTITY_COLUMNS if c != "id"]
+    return (
+        u.groupBy("id")
+        .agg(F.min_by(F.struct(*fields), F.col("_prio")).alias("e"))
+        .select("id", *[F.col(f"e.{f}").alias(f) for f in fields])
+        .select(*ENTITY_COLUMNS)
+    )
 
 
 def _as_entities(df: DataFrame, etype: str, **cols: Column) -> DataFrame:
@@ -651,7 +875,12 @@ def parse_quads(
             ("metaProperties", "map<string,array<string>>"),
         ]:
             out = out.withColumn(name, F.col(name).cast(typ))
-        return out.select(*ENTITY_COLUMNS)
+        out = out.select(*ENTITY_COLUMNS)
+        if opts.text_literal_as_node:
+            out = merge_text_literal_extras(
+                out, text_literal_entities(lits_resolved, opts)
+            )
+        return out
 
     if custom:
         from rdf2hk_spark.operators import customparse
@@ -831,7 +1060,12 @@ def parse_quads(
         from rdf2hk_spark.operators import hkvocab as _hv
 
         out = _hv.strip_literal_markers(out)
-    return out.select(*ENTITY_COLUMNS)
+    out = out.select(*ENTITY_COLUMNS)
+    if opts.text_literal_as_node:
+        out = merge_text_literal_extras(
+            out, text_literal_entities(lits_resolved, opts)
+        )
+    return out
 
 
 def _merge_maps(base: Column, upd: Column) -> Column:

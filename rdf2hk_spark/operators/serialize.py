@@ -502,6 +502,48 @@ def serialize_entities(
         )
     )
 
+    # ---- literal-as-node reification (Z9, serializer.js:106-118,260-266) ---
+    # links tagged with the data#Literal key re-emit the original literal
+    # triple (subject bind, connector, content node's data property, parent);
+    # collected unconditionally in the reference's pre-pass and added after
+    # the main loop (the link's normal cross-bind expansion above also runs).
+    lit_tag = F.lit(C.DATA_LITERAL_URI)
+    lit_links = links.filter(
+        (F.col("properties").isNotNull() & F.map_contains_key("properties", lit_tag))
+        | (
+            F.col("metaProperties").isNotNull()
+            & F.map_contains_key("metaProperties", lit_tag)
+        )
+    )
+    subj_bind = F.filter(
+        "binds", lambda b: b["role"] == opts.subject_label
+    )[0]["comp"]
+    obj_bind = F.filter(
+        "binds", lambda b: b["role"] == opts.object_label
+    )[0]["comp"]
+    content = e.select(
+        F.col("id").alias("content_id"),
+        F.element_at(F.element_at("properties", "data"), 1).alias("data"),
+    )
+    lj = lit_links.select(
+        subj_bind.alias("lsub"), "connector", "parent",
+        obj_bind.alias("content_id"),
+    ).join(content, "content_id", "left")
+    branches.append(
+        _quads(
+            lj,
+            resource_term(F.col("lsub")),
+            resource_term(F.col("connector")),
+            _literal_term(F.col("data"), F.lit(None).cast("string")),
+            resource_term(
+                F.coalesce(
+                    F.col("parent"),
+                    F.lit(opts.default_graph) if opts.default_graph else F.lit(None),
+                )
+            ),
+        )
+    )
+
     # ---- HK reification (convertHK) ----------------------------------------
     if opts.convert_hk:
         branches.append(_hk_reification_quads(e, connectors, opts))
