@@ -149,6 +149,90 @@ def q_kg_remove_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id")
 
 
+_OWL = "http://www.w3.org/2002/07/owl#"
+_RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+_OWL_G = "<urn:hk:g/owl>"
+
+
+def _owl_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quads + deterministic synthesized OWL statements (a restriction
+    bnode per 50th part + one ObjectProperty TBox), parsed with the OWLParser
+    plugin. Cached like the other entity variants."""
+    key = (sf_dir, "owl")
+    df = _ENTITY_CACHE.get(key)
+    if df is not None:
+        return df
+    from rdf2hk_spark.operators.owlparser import parse_with_owl
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        F.col("p_partkey") % 50 == 0
+    )
+    bn = F.concat(F.lit("_:rp"), F.col("p_partkey").cast("string"))
+    idx = F.col("p_partkey").cast("long") * 10 + F.lit(10**12)
+    g = F.lit(_OWL_G)
+
+    def stmt(off: int, s, p: str, o) -> DataFrame:
+        return part.select(
+            (idx + off).alias("stmt_idx"), s.alias("s"),
+            F.lit(p).alias("p"), o.alias("o"), g.alias("g"),
+        )
+
+    brand = F.concat(F.lit("<urn:hk:brand/"), F.col("p_brand"), F.lit(">"))
+    owl_quads = (
+        stmt(0, bn, C.RDF_TYPE_URI, F.lit(f"<{_OWL}Restriction>"))
+        .unionByName(stmt(1, bn, f"<{_OWL}onProperty>", F.lit("<urn:hk:p/hasBrand>")))
+        .unionByName(stmt(2, bn, f"<{_OWL}someValuesFrom>", brand))
+    )
+    tbox_rows = [
+        (10**13 + i, "<urn:hk:p/hasBrand>", p, o, _OWL_G)
+        for i, (p, o) in enumerate([
+            (C.RDF_TYPE_URI, f"<{_OWL}ObjectProperty>"),
+            (f"<{_RDFS}domain>", "<urn:hk:part>"),
+            (f"<{_RDFS}range>", "<urn:hk:brand>"),
+            (f"<{_OWL}inverseOf>", "<urn:hk:p/brandOf>"),
+        ])
+    ]
+    tbox = spark.createDataFrame(
+        tbox_rows, "stmt_idx long, s string, p string, o string, g string"
+    )
+    quads = tpch_kg.quads_df(spark, sf_dir).unionByName(owl_quads).unionByName(tbox)
+    df = parse_with_owl(quads, KG_OPTS).persist()
+    _ENTITY_CACHE[key] = df
+    return df
+
+
+def q_kg_owl_restrictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: restriction bnodes → n-ary links on the owl:Restriction connector."""
+    from rdf2hk_spark.operators.owlparser import (
+        ON_PROPERTY_LABEL, RESTRICTION_URI, SOME_VALUES_FROM_LABEL,
+    )
+
+    e = _owl_entities(spark, sf_dir)
+    links = e.filter(
+        (F.col("type") == C.LINK) & (F.col("connector") == RESTRICTION_URI)
+    )
+    comp = lambda lbl: F.filter("binds", lambda b: b["role"] == lbl)[0]["comp"]
+    return links.select(
+        "id", "parent",
+        comp(ON_PROPERTY_LABEL).alias("on_prop"),
+        comp(SOME_VALUES_FROM_LABEL).alias("some_v"),
+    )
+
+
+def q_kg_owl_connectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2/O3: the OWL-minted connectors' properties (rdf:type, domain/range,
+    qualifiers), exploded to rows."""
+    from rdf2hk_spark.operators.owlparser import RESTRICTION_URI
+
+    e = _owl_entities(spark, sf_dir)
+    sel = e.filter(F.col("id").isin("<urn:hk:p/hasBrand>", RESTRICTION_URI))
+    return (
+        sel.select("id", F.explode("properties").alias("prop", "vals"))
+        .select("id", "prop", F.posexplode("vals").alias("idx", "value"))
+        .select("id", "prop", F.col("idx").cast("int").alias("idx"), "value")
+    )
+
+
 def q_kg_text_literal_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 textLiteralAsNode: every text literal becomes a content node
     ``<hk://node/md5(value)>`` carrying the value as data."""
@@ -284,6 +368,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_remove_cascade": q_kg_remove_cascade,
         "kg_text_literal_nodes": q_kg_text_literal_nodes,
         "kg_text_literal_links": q_kg_text_literal_links,
+        "kg_owl_restrictions": q_kg_owl_restrictions,
+        "kg_owl_connectors": q_kg_owl_connectors,
         "doc_dedup_exact": q_doc_dedup_exact,
         "doc_minhash": q_doc_minhash,
         "doc_lsh_pairs": q_doc_lsh_pairs,
@@ -502,6 +588,34 @@ def oracle_sql() -> dict[str, str]:
                 WHERE substr(o, 1, 1) = '<'
                   AND (s = '<urn:hk:nation/0>' OR o = '<urn:hk:nation/0>')
               )
+        """,
+        "kg_owl_restrictions": """
+            SELECT '<hk://link/' || md5('_:rp' || p_partkey::VARCHAR
+                   || '<http://www.w3.org/2002/07/owl#Restriction>'
+                   || 'owl:restriction' || '<urn:hk:g/owl>') || '>' AS id,
+                   '<urn:hk:g/owl>' AS parent,
+                   '<urn:hk:p/hasBrand>' AS on_prop,
+                   '<urn:hk:brand/' || p_brand || '>' AS some_v
+            FROM part WHERE p_partkey % 50 = 0
+        """,
+        "kg_owl_connectors": """
+            SELECT * FROM (VALUES
+              ('<urn:hk:p/hasBrand>',
+               '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>', 0,
+               '<http://www.w3.org/2002/07/owl#ObjectProperty>'),
+              ('<urn:hk:p/hasBrand>',
+               '<http://www.w3.org/2002/07/owl#inverseOf>', 0,
+               '<urn:hk:p/brandOf>'),
+              ('<urn:hk:p/hasBrand>',
+               '<http://www.w3.org/2000/01/rdf-schema#domain>', 0,
+               '<urn:hk:part>'),
+              ('<urn:hk:p/hasBrand>',
+               '<http://www.w3.org/2000/01/rdf-schema#range>', 0,
+               '<urn:hk:brand>'),
+              ('<http://www.w3.org/2002/07/owl#Restriction>',
+               '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>', 0,
+               '<http://www.w3.org/2002/07/owl#Restriction>')
+            ) AS t(id, prop, idx, value)
         """,
         "kg_text_literal_nodes": f"""
             WITH {_Q}, {_NODES_CTE}, {_LITS_CTE}, {_TEXT_CTE}
