@@ -233,6 +233,78 @@ def q_kg_owl_connectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TIME = "http://www.w3.org/2006/time#"
+_TIME_G = "<urn:hk:g/time>"
+
+
+def _time_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quads + deterministic OWL-Time statements (per 200th order: an
+    interval whose beginning instant carries the order date), parsed with the
+    OwlTimeParser plugin."""
+    key = (sf_dir, "time")
+    df = _ENTITY_CACHE.get(key)
+    if df is not None:
+        return df
+    from rdf2hk_spark.operators.owltime import parse_with_owl_time
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderkey") % 200 == 0
+    )
+    k = F.col("o_orderkey").cast("string")
+    d = F.date_format("o_orderdate", "yyyy-MM-dd")
+    iv = F.concat(F.lit("<urn:hk:time/iv/"), k, F.lit(">"))
+    inst = F.concat(F.lit("<urn:hk:time/in/"), k, F.lit(">"))
+    ordid = F.concat(F.lit("<urn:hk:order/"), k, F.lit(">"))
+    dt_lit = F.concat(
+        F.lit('"'), d,
+        F.lit('T00:00:00"^^<http://www.w3.org/2001/XMLSchema#dateTime>'),
+    )
+    idx = F.col("o_orderkey").cast("long") * 10 + F.lit(2 * 10**12)
+    g = F.lit(_TIME_G)
+
+    def stmt(off: int, s, p: str, o) -> DataFrame:
+        return orders.select(
+            (idx + off).alias("stmt_idx"), s.alias("s"),
+            F.lit(p).alias("p"), o.alias("o"), g.alias("g"),
+        )
+
+    time_quads = (
+        stmt(0, ordid, f"<{_TIME}hasTime>", iv)
+        .unionByName(stmt(1, iv, C.RDF_TYPE_URI, F.lit(f"<{_TIME}Interval>")))
+        .unionByName(stmt(2, iv, f"<{_TIME}hasBeginning>", inst))
+        .unionByName(stmt(3, inst, C.RDF_TYPE_URI, F.lit(f"<{_TIME}Instant>")))
+        .unionByName(stmt(4, inst, f"<{_TIME}inXSDDateTime>", dt_lit))
+    )
+    quads = tpch_kg.quads_df(spark, sf_dir).unionByName(time_quads)
+    df = parse_with_owl_time(quads, KG_OPTS, time_context=_TIME_G).persist()
+    _ENTITY_CACHE[key] = df
+    return df
+
+
+def q_kg_time_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5: OWL-Time instants/intervals become temporal anchors (interfaces on
+    the time context), exploded to (aid, prop, value) rows."""
+    e = _time_entities(spark, sf_dir)
+    ctx = e.filter(F.col("id") == _TIME_G)
+    return ctx.select(F.explode("interfaces").alias("aid", "iface")).select(
+        "aid", F.explode("iface.properties").alias("prop", "value")
+    )
+
+
+def q_kg_time_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5: statements touching an anchor become links binding the context AT
+    the anchor."""
+    e = _time_entities(spark, sf_dir)
+    links = e.filter((F.col("type") == C.LINK) & (F.col("parent") == _TIME_G))
+    sb = F.filter("binds", lambda b: b["role"] == "subject")[0]
+    ob = F.filter("binds", lambda b: b["role"] == "object")[0]
+    return links.select(
+        "id", "connector",
+        sb["comp"].alias("s_comp"), sb["anchor"].alias("s_anchor"),
+        ob["comp"].alias("o_comp"), ob["anchor"].alias("o_anchor"),
+    )
+
+
 def q_kg_text_literal_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 textLiteralAsNode: every text literal becomes a content node
     ``<hk://node/md5(value)>`` carrying the value as data."""
@@ -370,6 +442,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_text_literal_links": q_kg_text_literal_links,
         "kg_owl_restrictions": q_kg_owl_restrictions,
         "kg_owl_connectors": q_kg_owl_connectors,
+        "kg_time_anchors": q_kg_time_anchors,
+        "kg_time_links": q_kg_time_links,
         "doc_dedup_exact": q_doc_dedup_exact,
         "doc_minhash": q_doc_minhash,
         "doc_lsh_pairs": q_doc_lsh_pairs,
@@ -616,6 +690,54 @@ def oracle_sql() -> dict[str, str]:
                '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>', 0,
                '<http://www.w3.org/2002/07/owl#Restriction>')
             ) AS t(id, prop, idx, value)
+        """,
+        "kg_time_anchors": """
+            WITH sel AS (
+              SELECT o_orderkey::VARCHAR AS k,
+                     strftime(o_orderdate, '%Y-%m-%d') AS d
+              FROM orders WHERE o_orderkey % 200 = 0
+            )
+            SELECT aid, prop, value FROM (
+              SELECT '<urn:hk:time/in/' || k || '>' AS aid,
+                     '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>' AS prop,
+                     '["<http://www.w3.org/2006/time#Instant>"]' AS value
+              FROM sel
+              UNION ALL
+              SELECT '<urn:hk:time/in/' || k || '>', 'begin', d || 'T00:00:00'
+              FROM sel
+              UNION ALL
+              SELECT '<urn:hk:time/in/' || k || '>', 'end', d || 'T00:00:00'
+              FROM sel
+              UNION ALL
+              SELECT '<urn:hk:time/iv/' || k || '>',
+                     '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>',
+                     '["<http://www.w3.org/2006/time#Interval>"]'
+              FROM sel
+              UNION ALL
+              SELECT '<urn:hk:time/iv/' || k || '>',
+                     '<http://www.w3.org/2006/time#hasBeginning>',
+                     '<urn:hk:time/in/' || k || '>'
+              FROM sel
+              UNION ALL
+              SELECT '<urn:hk:time/iv/' || k || '>', 'begin', d || 'T00:00:00'
+              FROM sel
+            )
+        """,
+        "kg_time_links": """
+            WITH sel AS (
+              SELECT o_orderkey::VARCHAR AS k FROM orders
+              WHERE o_orderkey % 200 = 0
+            )
+            SELECT '<hk://link/' || md5('<urn:hk:order/' || k || '>'
+                   || '<http://www.w3.org/2006/time#hasTime>'
+                   || '<urn:hk:time/iv/' || k || '>'
+                   || '<urn:hk:g/time>') || '>' AS id,
+                   '<http://www.w3.org/2006/time#hasTime>' AS connector,
+                   '<urn:hk:order/' || k || '>' AS s_comp,
+                   'λ' AS s_anchor,
+                   '<urn:hk:g/time>' AS o_comp,
+                   '<urn:hk:time/iv/' || k || '>' AS o_anchor
+            FROM sel
         """,
         "kg_text_literal_nodes": f"""
             WITH {_Q}, {_NODES_CTE}, {_LITS_CTE}, {_TEXT_CTE}
