@@ -333,6 +333,77 @@ def q_kg_text_literal_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 title selection over the corpus nodes: rdfs:label by language rank
+    (nations @en, regions plain), label-from-uri fallback for the rest."""
+    from rdf2hk_spark.functions.titles import entity_title
+
+    e = _entities(spark, sf_dir)
+    return entity_title(e.filter(F.col("type") == C.NODE)).select("id", "title")
+
+
+def q_kg_context_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 transitive context closure over a synthetic region→nation context
+    tree (the corpus's own contexts are flat)."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    rk = F.col("r_regionkey").cast("string")
+    nk = F.col("n_nationkey").cast("string")
+    ctxs = (
+        region.select(
+            F.concat(F.lit("<urn:hk:ctx/r/"), rk, F.lit(">")).alias("id"),
+            F.lit("<urn:hk:ctx/root>").alias("parent"),
+        )
+        .unionByName(
+            nation.select(
+                F.concat(F.lit("<urn:hk:ctx/n/"), nk, F.lit(">")).alias("id"),
+                F.concat(
+                    F.lit("<urn:hk:ctx/r/"), F.col("n_regionkey").cast("string"),
+                    F.lit(">"),
+                ).alias("parent"),
+            )
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [("<urn:hk:ctx/root>", None)], "id string, parent string"
+            )
+        )
+        .withColumn("type", F.lit(C.CONTEXT))
+    )
+    return plans_query.context_closure(ctxs, "<urn:hk:ctx/r/1>")
+
+
+def q_kg_update_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z10/Q6: minimal delete/insert quad delta after renaming every 4th
+    nation's label."""
+    from rdf2hk_spark.operators import update_diff
+
+    old = _entities(spark, sf_dir)
+    key = (sf_dir, "upd")
+    new = _ENTITY_CACHE.get(key)
+    if new is None:
+        quads = tpch_kg.quads_df(spark, sf_dir)
+        is_target = (
+            (F.col("p") == "<http://www.w3.org/2000/01/rdf-schema#label>")
+            & F.col("s").startswith("<urn:hk:nation/")
+            & (
+                F.regexp_extract("s", "nation/([0-9]+)", 1).cast("long") % 4 == 0
+            )
+        )
+        renamed = quads.withColumn(
+            "o",
+            F.when(
+                is_target, F.regexp_replace("o", '"@en$', '_X"@en')
+            ).otherwise(F.col("o")),
+        )
+        new = parse_quads(renamed, KG_OPTS).persist()
+        _ENTITY_CACHE[key] = new
+    delta = update_diff.update_quads(
+        old, new, SerializeOptions(convert_hk=False, default_graph=C.HK_NULL_URI)
+    )
+    return delta.select("op", "s", "p", "o", "g")
+
+
 # ---------------------------------------------------------------------------
 # training-data-pipeline operators over documents/embeddings
 # ---------------------------------------------------------------------------
@@ -444,6 +515,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_owl_connectors": q_kg_owl_connectors,
         "kg_time_anchors": q_kg_time_anchors,
         "kg_time_links": q_kg_time_links,
+        "kg_titles": q_kg_titles,
+        "kg_context_closure": q_kg_context_closure,
+        "kg_update_delta": q_kg_update_delta,
         "doc_dedup_exact": q_doc_dedup_exact,
         "doc_minhash": q_doc_minhash,
         "doc_lsh_pairs": q_doc_lsh_pairs,
@@ -690,6 +764,42 @@ def oracle_sql() -> dict[str, str]:
                '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>', 0,
                '<http://www.w3.org/2002/07/owl#Restriction>')
             ) AS t(id, prop, idx, value)
+        """,
+        "kg_titles": f"""
+            WITH {_Q}, {_NODES_CTE}
+            SELECT np.id,
+                   coalesce(n.n_name, r.r_name,
+                            regexp_extract(regexp_replace(np.id, '>$', ''),
+                                           '([^#/<]*)$', 1)) AS title
+            FROM node_parent np
+            LEFT JOIN nation n
+              ON np.id = '<urn:hk:nation/' || n.n_nationkey || '>'
+            LEFT JOIN region r
+              ON np.id = '<urn:hk:region/' || r.r_regionkey || '>'
+        """,
+        "kg_context_closure": """
+            SELECT '<urn:hk:ctx/r/1>' AS id
+            UNION ALL
+            SELECT '<urn:hk:ctx/n/' || n_nationkey || '>'
+            FROM nation WHERE n_regionkey = 1
+        """,
+        "kg_update_delta": """
+            WITH sel AS (
+              SELECT n_nationkey, n_name FROM nation WHERE n_nationkey % 4 = 0
+            )
+            SELECT 'delete' AS op,
+                   '<urn:hk:nation/' || n_nationkey || '>' AS s,
+                   '<http://www.w3.org/2000/01/rdf-schema#label>' AS p,
+                   '"' || n_name || '"@en' AS o,
+                   '<hk://id/null>' AS g
+            FROM sel
+            UNION ALL
+            SELECT 'insert',
+                   '<urn:hk:nation/' || n_nationkey || '>',
+                   '<http://www.w3.org/2000/01/rdf-schema#label>',
+                   '"' || n_name || '_X"@en',
+                   '<hk://id/null>'
+            FROM sel
         """,
         "kg_time_anchors": """
             WITH sel AS (

@@ -46,9 +46,11 @@ def update_quads(
     delta that turns serialize(old) into serialize(new), restricted to
     changed entities so unchanged regions never serialize."""
     opts = opts or SerializeOptions()
+    # changed-id set is unbounded (a full reload changes everything) — no
+    # forced broadcast, AQE picks the join strategy
     ids = changed_entity_ids(old, new)
-    old_c = old.join(F.broadcast(ids), "id", "left_semi")
-    new_c = new.join(F.broadcast(ids), "id", "left_semi")
+    old_c = old.join(ids, "id", "left_semi")
+    new_c = new.join(ids, "id", "left_semi")
     # localCheckpoint: the serialize plans are deep union trees over the
     # (often already deep) entity lineage — exceptAll over both sides
     # otherwise multiplies the analyzed-plan size (heap blowup observed)
