@@ -99,3 +99,49 @@ def test_nquads_read_decodes_u_escapes(spark, tmp_path):
     )
     q = nquads.read_nquads(spark, str(p))
     assert q.collect()[0]["o"] == '"café \U0001f600"'
+
+
+class TestTurtleReader:
+    def test_blank_node_property_list(self, spark):
+        rows = nquads.parse_turtle_driver(
+            '@prefix ex: <http://ex/> .\n'
+            'ex:a ex:knows [ ex:name "Bob" ; ex:age 42 ] .\n'
+        )
+        triples = {(s, p, o) for _, s, p, o, _ in rows}
+        bnodes = {s for s, p, o in triples if s.startswith("_:")}
+        assert len(bnodes) == 1
+        b = bnodes.pop()
+        assert ("<http://ex/a>", "<http://ex/knows>", b) in triples
+        assert (b, "<http://ex/name>", '"Bob"') in triples
+        assert (
+            b, "<http://ex/age>",
+            '"42"^^<http://www.w3.org/2001/XMLSchema#integer>',
+        ) in triples
+
+    def test_collection(self, spark):
+        rows = nquads.parse_turtle_driver(
+            '@prefix ex: <http://ex/> .\n'
+            'ex:a ex:list (ex:x ex:y) .\n'
+        )
+        triples = {(s, p, o) for _, s, p, o, _ in rows}
+        rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        firsts = {(s, o) for s, p, o in triples if p == f"<{rdf}first>"}
+        assert {o for _, o in firsts} == {"<http://ex/x>", "<http://ex/y>"}
+        rests = {o for s, p, o in triples if p == f"<{rdf}rest>"}
+        assert f"<{rdf}nil>" in rests
+
+    def test_multiline_string_and_a(self, spark):
+        rows = nquads.parse_turtle_driver(
+            '@prefix ex: <http://ex/> .\n'
+            'ex:a a ex:Thing ; ex:note """line1\nline2""" .\n'
+        )
+        triples = {(s, p, o) for _, s, p, o, _ in rows}
+        rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        assert ("<http://ex/a>", f"<{rdf}type>", "<http://ex/Thing>") in triples
+        assert ("<http://ex/a>", "<http://ex/note>", '"line1\nline2"') in triples
+
+    def test_unsupported_syntax_raises(self, spark):
+        with pytest.raises(nquads.TurtleSyntaxError):
+            nquads.parse_turtle_driver("this is not turtle at all")
+        with pytest.raises(nquads.TurtleSyntaxError):
+            nquads.parse_turtle_driver("ex:a ex:b ex:c .")  # undeclared prefix
