@@ -43,7 +43,9 @@ def _entities(
     df = _ENTITY_CACHE.get(key)
     if df is None:
         opts = TLN_OPTS if text_literal_as_node else KG_OPTS
-        df = parse_quads(tpch_kg.quads_df(spark, sf_dir), opts).persist()
+        # localCheckpoint (not persist): truncates the ~40-node parse plan so
+        # the 30+ downstream oracle queries re-analyze a leaf, not the tree
+        df = parse_quads(tpch_kg.quads_df(spark, sf_dir), opts).localCheckpoint()
         _ENTITY_CACHE[key] = df
     return df
 
@@ -196,7 +198,7 @@ def _owl_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         tbox_rows, "stmt_idx long, s string, p string, o string, g string"
     )
     quads = tpch_kg.quads_df(spark, sf_dir).unionByName(owl_quads).unionByName(tbox)
-    df = parse_with_owl(quads, KG_OPTS).persist()
+    df = parse_with_owl(quads, KG_OPTS).localCheckpoint()
     _ENTITY_CACHE[key] = df
     return df
 
@@ -276,7 +278,7 @@ def _time_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stmt(4, inst, f"<{_TIME}inXSDDateTime>", dt_lit))
     )
     quads = tpch_kg.quads_df(spark, sf_dir).unionByName(time_quads)
-    df = parse_with_owl_time(quads, KG_OPTS, time_context=_TIME_G).persist()
+    df = parse_with_owl_time(quads, KG_OPTS, time_context=_TIME_G).localCheckpoint()
     _ENTITY_CACHE[key] = df
     return df
 
@@ -396,7 +398,7 @@ def q_kg_update_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 is_target, F.regexp_replace("o", '"@en$', '_X"@en')
             ).otherwise(F.col("o")),
         )
-        new = parse_quads(renamed, KG_OPTS).persist()
+        new = parse_quads(renamed, KG_OPTS).localCheckpoint()
         _ENTITY_CACHE[key] = new
     delta = update_diff.update_quads(
         old, new, SerializeOptions(convert_hk=False, default_graph=C.HK_NULL_URI)

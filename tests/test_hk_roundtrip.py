@@ -40,7 +40,11 @@ def snapshot(df):
 @pytest.fixture(scope="module")
 def first_pass(spark):
     quads = spark.createDataFrame(FX.quads(), QUAD_SCHEMA)
-    return parse_quads(quads, PARSE_OPTS).cache()
+    # localCheckpoint (not cache): the serializer fans out into ~12 branches
+    # over this frame — truncating the lineage here keeps the downstream
+    # Catalyst analysis linear instead of re-analyzing the parse tree per
+    # branch (the dominant cost of this module)
+    return parse_quads(quads, PARSE_OPTS).localCheckpoint()
 
 
 def test_convert_hk_roundtrip_fixture(spark, first_pass):
@@ -72,7 +76,7 @@ def test_convert_hk_roundtrip_with_contexts_and_refs(spark):
         (3, "_:x", "<http://p/r>", "<http://e/a>", g1),
     ]
     quads = spark.createDataFrame(rows, QUAD_SCHEMA)
-    first = parse_quads(quads, PARSE_OPTS).cache()
+    first = parse_quads(quads, PARSE_OPTS).localCheckpoint()
     a = snapshot(first)
     rdf = serialize_entities(first, SER_OPTS)
     second = parse_quads(rdf.select("stmt_idx", "s", "p", "o", "g"), PARSE_OPTS)

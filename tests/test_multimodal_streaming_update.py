@@ -90,10 +90,12 @@ class TestStreamingIngest:
 
 class TestUpdateDiff:
     def _ents(self, spark, rows):
+        # localCheckpoint: update_quads serializes both sides into ~12-branch
+        # union plans over these frames — truncate lineage once here
         return parse_quads(
             spark.createDataFrame(rows, QUAD_SCHEMA),
             ParseOptions(create_context=True, set_node_context=True),
-        )
+        ).localCheckpoint()
 
     def test_delta_and_apply(self, spark):
         g = "<http://g/1>"
@@ -106,8 +108,8 @@ class TestUpdateDiff:
             (1, "<http://e/a>", "<http://p/name>", '"new"', g),
             (2, "<http://e/b>", "<http://p/name>", '"bee"', g),
         ]
-        old = self._ents(spark, old_rows).cache()
-        new = self._ents(spark, new_rows).cache()
+        old = self._ents(spark, old_rows)
+        new = self._ents(spark, new_rows)
         opts = SerializeOptions(default_graph=C.HK_NULL_URI)
         delta = update_diff.update_quads(old, new, opts)
         d = {(r["op"], r["s"], r["p"], r["o"]) for r in delta.collect()}
@@ -126,8 +128,8 @@ class TestUpdateDiff:
         assert want.exceptAll(applied).count() == 0
 
     def test_reparent_moves_graph(self, spark):
-        old = self._ents(spark, [(0, "<http://e/a>", "<http://p/n>", '"v"', "<http://g/1>")]).cache()
-        new = self._ents(spark, [(0, "<http://e/a>", "<http://p/n>", '"v"', "<http://g/2>")]).cache()
+        old = self._ents(spark, [(0, "<http://e/a>", "<http://p/n>", '"v"', "<http://g/1>")])
+        new = self._ents(spark, [(0, "<http://e/a>", "<http://p/n>", '"v"', "<http://g/2>")])
         delta = update_diff.update_quads(old, new, SerializeOptions())
         ops = {(r["op"], r["g"]) for r in delta.filter(F.col("p") == "<http://p/n>").collect()}
         assert ("delete", "<http://g/1>") in ops and ("insert", "<http://g/2>") in ops

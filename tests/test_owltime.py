@@ -47,7 +47,7 @@ def parsed(spark):
     quads = spark.createDataFrame(_rows(), QUAD_SCHEMA)
     ents = parse_with_owl_time(
         quads, ParseOptions(create_context=True, set_node_context=True)
-    )
+    ).localCheckpoint()  # serializer fans out over this frame
     rows = {r["id"]: r.asDict(recursive=True) for r in ents.collect()}
     return ents, rows
 

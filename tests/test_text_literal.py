@@ -105,7 +105,7 @@ def test_serializer_reifies_original_literal_triples(spark):
     opts = ParseOptions(
         create_context=True, set_node_context=True, text_literal_as_node=True,
     )
-    ents = parse_quads(quads, opts)
+    ents = parse_quads(quads, opts).localCheckpoint()
     rdf = serialize_entities(
         ents, SerializeOptions(convert_hk=False, default_graph=C.HK_NULL_URI)
     )
