@@ -118,7 +118,7 @@ def filter_entities(entities: DataFrame, filters) -> DataFrame:
         for b, ctx in nested_ctx:
             members = context_closure(entities, ctx)
             hit = entities.join(
-                F.broadcast(members.select(F.col("id").alias("parent"))), "parent"
+                members.select(F.col("id").alias("parent")), "parent"
             ).filter(_block_predicate(entities, {k: v for k, v in b.items() if k != "parent"}))
             union = hit if union is None else union.unionByName(hit)
         out = out.unionByName(union).dropDuplicates(["id"])
@@ -140,7 +140,7 @@ def context_closure(entities: DataFrame, root: str) -> DataFrame:
     for _ in range(64):  # hard depth bound
         nxt = (
             edges.join(
-                F.broadcast(frontier.select(F.col("id").alias("parent"))), "parent"
+                frontier.select(F.col("id").alias("parent")), "parent"
             )
             .select("id")
             .join(seen, "id", "left_anti")
