@@ -374,27 +374,12 @@ def _with_value_cols(l: DataFrame) -> DataFrame:
     )
 
 
-def aggregate_properties(lits_resolved: DataFrame, opts: ParseOptions) -> DataFrame:
-    """A5 (parser.js:312-371,399-525): literal statements → per-entity
-    properties / metaProperties maps, values in statement order.
-
-    Value encoding parity (parser.js:399-421 + utils.js:220-264):
-      - lang literal  → ``"v"@lang`` (re-encoded into the value string)
-      - numeric xsd   → JS ``Number().toString()`` canonical form
-      - boolean xsd   → 'true' / 'false'
-      - anything else → bare inner value string
-      - value ``"<hk://id/null>"^^<T>`` (after conversion) sets ONLY a
-        metaProperty (parser.js:410-420)
-    """
-    if opts.only_hk:
-        lits_resolved = lits_resolved.filter(~F.col("needs_ref"))
-    l = _with_value_cols(lits_resolved)
+def _annotated_property_rows(l: DataFrame, opts: ParseOptions) -> DataFrame:
+    """Value/flag annotation + the A7 text-literal remap (when enabled):
+    text rows become a single data#Literal tag keyed on the target, whose
+    value is the predicate id (property or metaProperty by encoding)."""
+    l = _with_value_cols(l)
     if opts.text_literal_as_node:
-        # A7 (parser.js:422-443): text-literal statements do not become plain
-        # properties — the subject gets a single data#Literal tag (property or
-        # metaProperty by encoding) whose value is the LAST predicate id
-        # (setProperty overwrite semantics), and the statement's value moves
-        # into a content node + spo link (text_literal_entities)
         lit_key = T.id_from_resource(F.lit(C.DATA_LITERAL_URI))
         as_prop = opts.text_literal_as_node_encoding == "property"
         tag = F.col("p_id")
@@ -416,6 +401,100 @@ def aggregate_properties(lits_resolved: DataFrame, opts: ParseOptions) -> DataFr
                 ),
             )
         )
+    return l
+
+
+def aggregate_properties_fused(
+    lits_resolved: DataFrame, opts: ParseOptions
+) -> DataFrame:
+    """A5+A6 in ONE aggregation tree keyed on target_id (the fused-path
+    variant): the per-prop ordered value arrays, the property/metaProperty
+    maps AND the Reference mint (first-statement ref/parent) are all computed
+    inside a single groupBy(target_id) — or groupBy(target_id, salt) →
+    groupBy(target_id) when ``property_salt`` bounds hot-entity skew —
+    instead of the separate per-(target, prop) shuffle + per-target shuffle +
+    per-ref shuffle of the general path. Identical output values (the same
+    statement-order sorting happens inside the aggregation expression).
+
+    Returns (id, properties, metaProperties, needs_ref, ref, ref_parent).
+    """
+    if opts.only_hk:
+        lits_resolved = lits_resolved.filter(~F.col("needs_ref"))
+    l = _annotated_property_rows(lits_resolved, opts)
+    item = F.struct("prop", "stmt_idx", "pval", "mval")
+    rstmt_c = F.when(F.col("needs_ref"), F.col("stmt_idx"))
+    rinfo_c = F.struct(F.col("s_m").alias("ref"), F.col("parent"))
+
+    if opts.property_salt and opts.property_salt > 1:
+        salted = l.withColumn(
+            "_salt", (F.col("stmt_idx") % opts.property_salt).cast("int")
+        )
+        partial = salted.groupBy("target_id", "_salt").agg(
+            F.collect_list(item).alias("items"),
+            F.min(rstmt_c).alias("rstmt"),
+            F.min_by(rinfo_c, rstmt_c).alias("rinfo"),
+        )
+        per_t = partial.groupBy("target_id").agg(
+            F.flatten(F.collect_list("items")).alias("items"),
+            F.min("rstmt").alias("rstmt"),
+            F.min_by("rinfo", "rstmt").alias("rinfo"),
+        )
+    else:
+        per_t = l.groupBy("target_id").agg(
+            F.collect_list(item).alias("items"),
+            F.min(rstmt_c).alias("rstmt"),
+            F.min_by(rinfo_c, rstmt_c).alias("rinfo"),
+        )
+
+    # struct sort = (prop, stmt_idx) lexicographic — statement order per prop
+    items = F.sort_array(F.col("items"))
+    keys = F.array_distinct(F.transform(items, lambda x: x["prop"]))
+
+    def vals_of(field: str, k: Column) -> Column:
+        vs = F.transform(
+            F.filter(items, lambda x: (x["prop"] == k) & x[field].isNotNull()),
+            lambda x: x[field],
+        )
+        if opts.text_literal_as_node:
+            # setProperty overwrite: the data#Literal tag keeps the LAST value
+            lit_key = T.id_from_resource(F.lit(C.DATA_LITERAL_URI))
+            vs = F.when(k == lit_key, F.slice(vs, -1, 1)).otherwise(vs)
+        return vs
+
+    def map_of(field: str) -> Column:
+        entries = F.filter(
+            F.transform(
+                keys, lambda k: F.struct(k.alias("k"), vals_of(field, k).alias("v"))
+            ),
+            lambda e: F.size(e["v"]) > 0,
+        )
+        return F.when(F.size(entries) > 0, F.map_from_entries(entries))
+
+    return per_t.select(
+        F.col("target_id").alias("id"),
+        map_of("pval").alias("properties"),
+        map_of("mval").alias("metaProperties"),
+        F.col("rstmt").isNotNull().alias("needs_ref"),
+        F.col("rinfo.ref").alias("ref"),
+        F.col("rinfo.parent").alias("ref_parent"),
+    )
+
+
+def aggregate_properties(lits_resolved: DataFrame, opts: ParseOptions) -> DataFrame:
+    """A5 (parser.js:312-371,399-525): literal statements → per-entity
+    properties / metaProperties maps, values in statement order.
+
+    Value encoding parity (parser.js:399-421 + utils.js:220-264):
+      - lang literal  → ``"v"@lang`` (re-encoded into the value string)
+      - numeric xsd   → JS ``Number().toString()`` canonical form
+      - boolean xsd   → 'true' / 'false'
+      - anything else → bare inner value string
+      - value ``"<hk://id/null>"^^<T>`` (after conversion) sets ONLY a
+        metaProperty (parser.js:410-420)
+    """
+    if opts.only_hk:
+        lits_resolved = lits_resolved.filter(~F.col("needs_ref"))
+    l = _annotated_property_rows(lits_resolved, opts)
 
     def _structs(col: str) -> F.Column:
         return F.collect_list(
@@ -835,8 +914,9 @@ def parse_quads(
         )
         directory = resolved.select("id", "type", "parent")
         lits_resolved = resolve_property_targets(uq, opts, directory)
-        refs = create_references(lits_resolved, opts)
-        props = aggregate_properties(lits_resolved, opts)
+        # ONE aggregation tree produces properties, metaProperties AND the
+        # Reference mint — no separate per-(target,prop) / per-ref shuffles
+        pr = aggregate_properties_fused(lits_resolved, opts)
         link_e = links.select(
             "id", F.lit(C.LINK).alias("type"), "parent", "connector",
             F.lit(None).cast("string").alias("ref"),
@@ -848,8 +928,18 @@ def parse_quads(
             ).alias("interfaces"),
             F.lit(True).alias("parent_defined"),
         )
-        ref_e = refs.select(
-            "id", F.lit(C.REFERENCE).alias("type"), "parent",
+        cols = ["id", "type", "parent", "connector", "ref", "className",
+                "roles", "binds", "interfaces", "parent_defined"]
+        base_e = resolved.select(*cols).unionByName(link_e.select(*cols))
+        out = base_e.join(
+            pr.select("id", "properties", "metaProperties"), "id", "left"
+        )
+        # Reference rows ride the aggregation output directly (their property
+        # maps are already on the row) — <hk://ref/md5> ids are disjoint from
+        # every other entity id space, so a plain union suffices
+        ref_e = pr.filter(F.col("needs_ref")).select(
+            "id", F.lit(C.REFERENCE).alias("type"),
+            F.col("ref_parent").alias("parent"),
             F.lit(None).cast("string").alias("connector"), "ref",
             F.lit(None).cast("string").alias("className"),
             F.lit(None).cast("map<string,string>").alias("roles"),
@@ -861,15 +951,9 @@ def parse_quads(
                 " properties:map<string,string>>>"
             ).alias("interfaces"),
             F.lit(True).alias("parent_defined"),
+            "properties", "metaProperties",
         )
-        cols = ["id", "type", "parent", "connector", "ref", "className",
-                "roles", "binds", "interfaces", "parent_defined"]
-        all_e = (
-            resolved.select(*cols)
-            .unionByName(link_e.select(*cols))
-            .unionByName(ref_e.select(*cols))
-        )
-        out = all_e.join(props, "id", "left")
+        out = out.unionByName(ref_e.select(*out.columns))
         for name, typ in [
             ("properties", "map<string,array<string>>"),
             ("metaProperties", "map<string,array<string>>"),
