@@ -161,12 +161,13 @@ class TurtleSyntaxError(ValueError):
 
 
 class _TurtleReader:
-    """Small recursive-descent Turtle/TriG-default-graph reader for driver-
-    side fixtures (graphfactory.js:123-151 territory; the scale path is the
-    line-oriented N-Quads reader above). Supports @prefix/@base (and SPARQL
-    PREFIX/BASE), prefixed names, 'a', ';' and ',' continuation, blank-node
-    property lists [..], collections (..), and quoted / triple-quoted /
-    lang-tagged / typed literals. Anything else raises TurtleSyntaxError."""
+    """Small recursive-descent Turtle/TriG reader for driver-side fixtures
+    (graphfactory.js:123-151 territory; the scale path is the line-oriented
+    N-Quads reader above). Supports @prefix/@base (and SPARQL PREFIX/BASE),
+    prefixed names, 'a', ';' and ',' continuation, blank-node property lists
+    [..], collections (..), quoted / triple-quoted / lang-tagged / typed
+    literals, and TriG named-graph blocks (``GRAPH <g> { .. }`` or
+    ``<g> { .. }``). Anything else raises TurtleSyntaxError."""
 
     def __init__(self, text: str):
         self.t = text
@@ -174,7 +175,9 @@ class _TurtleReader:
         self.n = len(text)
         self.prefixes: dict[str, str] = {}
         self.base = ""
-        self.rows: list[tuple[str, str, str]] = []
+        # (s, p, o, g) with g=None for the default graph
+        self.rows: list[tuple[str, str, str, str | None]] = []
+        self.cur_g: str | None = None
         self.bnode_n = 0
 
     # -- lexer helpers ------------------------------------------------------
@@ -283,9 +286,9 @@ class _TurtleReader:
             head = self._new_bnode()
             cur = head
             for j, it in enumerate(items):
-                self.rows.append((cur, f"<{RDF_NS}first>", it))
+                self.rows.append((cur, f"<{RDF_NS}first>", it, self.cur_g))
                 nxt = self._new_bnode() if j + 1 < len(items) else f"<{RDF_NS}nil>"
-                self.rows.append((cur, f"<{RDF_NS}rest>", nxt))
+                self.rows.append((cur, f"<{RDF_NS}rest>", nxt, self.cur_g))
                 cur = nxt
             return head
         # numeric / boolean shorthand
@@ -319,7 +322,7 @@ class _TurtleReader:
                 pred = self._term()
             while True:
                 obj = self._term()
-                self.rows.append((subject, pred, obj))
+                self.rows.append((subject, pred, obj, self.cur_g))
                 if self._peek() == ",":
                     self.i += 1
                     continue
@@ -334,7 +337,18 @@ class _TurtleReader:
                 continue
             return
 
-    def parse(self) -> list[tuple[str, str, str]]:
+    def _graph_block(self, g: str) -> None:
+        self._expect("{")
+        self.cur_g = g
+        while self._peek() != "}":
+            subject = self._term(as_subject=True)
+            self._predicate_object_list(subject)
+            if self._peek() == ".":
+                self.i += 1
+        self._expect("}")
+        self.cur_g = None
+
+    def parse(self) -> list[tuple[str, str, str, str | None]]:
         import re
 
         while True:
@@ -351,8 +365,15 @@ class _TurtleReader:
             if m:
                 self.base = m.group(1)
                 continue
+            if self._match_re(r"GRAPH(?![A-Za-z0-9_])"):
+                g = self._term()
+                self._graph_block(g)
+                continue
             subject = self._term(as_subject=True)
             self._ws()
+            if self._peek() == "{":  # TriG: <g> { ... }
+                self._graph_block(subject)
+                continue
             # a bare blank-node property list may omit the p-o list
             if self._peek() == ".":
                 self.i += 1
@@ -368,6 +389,10 @@ def parse_turtle_driver(
     full statement grammar incl. blank-node property lists ``[..]``,
     collections ``(..)``, triple-quoted strings, numeric/boolean shorthand.
     Raises :class:`TurtleSyntaxError` on unsupported syntax instead of
-    silently dropping statements."""
+    silently dropping statements. TriG graph blocks map to the g column;
+    default-graph statements get ``default_graph``."""
     rows = _TurtleReader(text).parse()
-    return [(i, s, p, o, default_graph) for i, (s, p, o) in enumerate(rows)]
+    return [
+        (i, s, p, o, g if g is not None else default_graph)
+        for i, (s, p, o, g) in enumerate(rows)
+    ]

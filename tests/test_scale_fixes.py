@@ -145,3 +145,20 @@ class TestTurtleReader:
             nquads.parse_turtle_driver("this is not turtle at all")
         with pytest.raises(nquads.TurtleSyntaxError):
             nquads.parse_turtle_driver("ex:a ex:b ex:c .")  # undeclared prefix
+
+    def test_trig_graph_blocks(self, spark):
+        rows = nquads.parse_turtle_driver(
+            '@prefix ex: <http://ex/> .\n'
+            'ex:a ex:p ex:b .\n'
+            'GRAPH ex:g1 { ex:c ex:p ex:d . ex:e ex:p "v" }\n'
+            'ex:g2 { ex:f ex:p ex:h . }\n'
+        )
+        quads = {(s, p, o, g) for _, s, p, o, g in rows}
+        from rdf2hk_spark import constants as C
+        assert ("<http://ex/a>", "<http://ex/p>", "<http://ex/b>",
+                C.HK_NULL_URI) in quads
+        assert ("<http://ex/c>", "<http://ex/p>", "<http://ex/d>",
+                "<http://ex/g1>") in quads
+        assert ("<http://ex/e>", "<http://ex/p>", '"v"', "<http://ex/g1>") in quads
+        assert ("<http://ex/f>", "<http://ex/p>", "<http://ex/h>",
+                "<http://ex/g2>") in quads
