@@ -482,6 +482,19 @@ def q_ann_lsh_buckets(spark, sf_dir):
     return similarity.lsh_buckets(_embs(spark, sf_dir), planes=8)
 
 
+def q_embed_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup: LSH bucket candidates + exact cosine ≥ 0.95.
+    Every 100th vector is re-seeded under id+10^6 (an exact duplicate, cosine
+    1.0 and same bucket) so the green row verifies real pairs."""
+    e = _embs(spark, sf_dir).select("vec_id", "embedding")
+    dupes = e.filter(F.col("vec_id") % 100 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    return similarity.embedding_near_duplicates(
+        e.unionByName(dupes), threshold_e4=9500, planes=8
+    )
+
+
 def q_doc_token_stats(spark, sf_dir):
     return textstats.token_stats(_docs(spark, sf_dir))
 
@@ -527,6 +540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash": q_doc_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
+        "embed_neardup": q_embed_neardup,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
         "doc_langid": q_doc_langid,
@@ -965,6 +979,41 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, ''
                               ORDER BY p) AS bucket
             FROM b GROUP BY id
+        """,
+        "embed_neardup": f"""
+            WITH e0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+                        FROM embeddings),
+            e AS (
+              SELECT id, v FROM e0
+              UNION ALL
+              SELECT id + 1000000, v FROM e0 WHERE id % 100 = 0
+            ),
+            b AS (
+              SELECT id, p,
+                     list_sum(list_transform(generate_series(1, len(v)),
+                       d -> v[d] * ({_W_PD} / 1000000.0 - 0.5))) AS s
+              FROM e CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS p) ps
+            ),
+            bk AS (
+              SELECT id,
+                     string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, ''
+                                ORDER BY p) AS bucket
+              FROM b GROUP BY id
+            ),
+            sized AS (
+              SELECT bucket FROM bk GROUP BY bucket
+              HAVING count(*) BETWEEN 2 AND 1000
+            ),
+            eb AS (
+              SELECT bk.id, bk.bucket, e.v
+              FROM bk JOIN e USING (id) JOIN sized USING (bucket)
+            )
+            SELECT x.id AS a, y.id AS b,
+                   CAST(round(list_dot_product(x.v, y.v) * 10000) AS BIGINT)
+                     AS score_e4
+            FROM eb x JOIN eb y ON x.bucket = y.bucket AND x.id < y.id
+            WHERE CAST(round(list_dot_product(x.v, y.v) * 10000) AS BIGINT)
+                  >= 9500
         """,
         "doc_token_stats": """
             SELECT doc_id AS id, length(text)::BIGINT AS n_chars,

@@ -117,6 +117,49 @@ def lsh_buckets(
     return embeddings.select(F.col(id_col).alias("id"), sig.alias("bucket"))
 
 
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    threshold_e4: int = 9500,
+    planes: int = 8,
+    max_bucket: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates collide on the
+    random-hyperplane LSH bucket (never all-pairs), then exact cosine ≥
+    threshold verifies. Returns (a, b, score_e4) with a < b.
+
+    ``max_bucket`` bounds the within-bucket pair blow-up exactly like
+    dedup.lsh_candidate_pairs — at 10^12 scale a degenerate bucket (zero
+    vectors, boilerplate embeddings) would otherwise emit O(n²) pairs."""
+    b = lsh_buckets(embeddings, planes, id_col, vec_col)
+    e = embeddings.join(b, embeddings[id_col] == b["id"]).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"), "bucket"
+    )
+    sized = e.groupBy("bucket").agg(F.count("*").alias("n")).filter(
+        (F.col("n") > 1) & (F.col("n") <= max_bucket)
+    ).select("bucket")
+    eb = e.join(sized, "bucket")
+    pairs = (
+        eb.select("bucket", F.col("vid").alias("a"), F.col("vec").alias("a_vec"))
+        .join(
+            eb.select(
+                "bucket", F.col("vid").alias("b"), F.col("vec").alias("b_vec")
+            ),
+            "bucket",
+        )
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a", "b",
+            F.round(_dot(F.col("a_vec"), F.col("b_vec")) * 1e4)
+            .cast("long")
+            .alias("score_e4"),
+        )
+    )
+    # each vector lives in exactly one bucket ⇒ pairs are already unique
+    return pairs.filter(F.col("score_e4") >= threshold_e4)
+
+
 def ann_topk_lsh(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -162,3 +162,21 @@ class TestTurtleReader:
         assert ("<http://ex/e>", "<http://ex/p>", '"v"', "<http://ex/g1>") in quads
         assert ("<http://ex/f>", "<http://ex/p>", "<http://ex/h>",
                 "<http://ex/g2>") in quads
+
+
+def test_embedding_near_duplicates_finds_seeded_pair(spark):
+    e = _synth_embeddings(spark, 300, dim=8)
+    dup = e.filter(F.col("vec_id") == 7).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    got = similarity.embedding_near_duplicates(
+        e.unionByName(dup), threshold_e4=9999, planes=6
+    ).collect()
+    pairs = {(r["a"], r["b"]): r["score_e4"] for r in got}
+    # identical vectors share the bucket; score = dot = |v|^2 (generator
+    # vectors are not unit-norm)
+    v = [((7 * 31 + d * 17) % 97) / 97.0 for d in range(8)]
+    import numpy as np
+    expected = round(float(np.float32(0) + sum(
+        float(np.float32(x)) * float(np.float32(x)) for x in v)) * 1e4)
+    assert abs(pairs[(7, 1007)] - expected) <= 1
