@@ -41,6 +41,52 @@ def page_rate_stats(pages: DataFrame, window: str = "10 seconds",
     )
 
 
+def stream_dedup_exact(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Cross-micro-batch exact dedup via ``applyInPandasWithState``: the
+    first-seen document per content hash is emitted, later arrivals (within
+    or across micro-batches, including replays after restart — state lives in
+    the streaming checkpoint) are suppressed and counted.
+
+    State per md5(text): (keep_id, n_seen). Output one row per NEWLY seen
+    hash: (h, keep_id). keep_id = min doc id within the first batch that
+    carried the hash (deterministic under shuffle order). At 10^12-doc scale
+    the state store shards by hash exactly like the batch groupBy — no
+    driver-side state, no all-pairs."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    hashed = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.md5(F.encode(F.col(text_col), "UTF-8")).alias("h"),
+    )
+
+    def dedup_fn(key, pdfs, state):
+        import pandas as pd
+
+        min_id = None
+        n = 0
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                m = int(pdf["doc_id"].min())
+                min_id = m if min_id is None else min(min_id, m)
+        if state.exists:
+            keep_id, seen = state.get
+            state.update((int(keep_id), int(seen) + n))
+            return iter(())  # duplicate hash — suppress
+        state.update((min_id, n))
+        yield pd.DataFrame({"h": [key[0]], "keep_id": [min_id]})
+
+    return hashed.groupBy("h").applyInPandasWithState(
+        dedup_fn,
+        outputStructType="h string, keep_id long",
+        stateStructType="keep_id long, n_seen long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def start_kg_stream(
     spark: SparkSession,
     in_path: str,

@@ -88,6 +88,44 @@ class TestStreamingIngest:
         assert sum(r["n_pages"] for r in rows) == 40
 
 
+class TestStatefulDedup:
+    def _run(self, spark, inp, ckpt, outp):
+        docs = spark.readStream.schema("doc_id long, text string").parquet(inp)
+        out = ingest.stream_dedup_exact(docs)
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(outp)
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("update").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        try:
+            return spark.read.parquet(outp).collect()
+        except Exception:
+            return []
+
+    def test_dedup_state_across_restarts(self, spark, tmp_path):
+        inp, ckpt = str(tmp_path / "sin"), str(tmp_path / "sckpt")
+        spark.createDataFrame(
+            [(1, "alpha"), (2, "beta"), (3, "alpha")], "doc_id long, text string"
+        ).write.parquet(inp)
+        outp = str(tmp_path / "sout")
+        rows = self._run(spark, inp, ckpt, outp)
+        got = {(r["keep_id"]) for r in rows}
+        assert got == {1, 2}  # alpha kept once (min id), beta kept
+
+        # second batch arrives: a replayed duplicate + a new doc — state in
+        # the checkpoint suppresses the replay across the restart
+        spark.createDataFrame(
+            [(4, "alpha"), (5, "gamma")], "doc_id long, text string"
+        ).write.mode("append").parquet(inp)
+        rows2 = self._run(spark, inp, ckpt, outp)
+        assert {r["keep_id"] for r in rows2} == {1, 2, 5}
+
+
 class TestUpdateDiff:
     def _ents(self, spark, rows):
         # localCheckpoint: update_quads serializes both sides into ~12-branch
