@@ -131,3 +131,32 @@ def test_option_off_unchanged(spark):
     a = e["<http://e/a>"]
     assert a["properties"]["<http://p/name>"] == ["Alice"]
     assert _content_id("Alice") not in e
+
+
+def test_text_literal_with_convert_hk(spark):
+    """A7 composes with the convertHK plugin path (the general-path merge):
+    text literals still mint content nodes/links while HK-vocab statements
+    reconstruct entities."""
+    isa = C.ISA_URI
+    rows = [
+        (0, "<http://e/a>", isa, '"node"', G),
+        (1, "<http://e/a>", "<http://p/bio>", '"writer"', G),
+        (2, "<http://e/a>", "<http://p/knows>", "<http://e/b>", G),
+    ]
+    quads = spark.createDataFrame(rows, QUAD_SCHEMA)
+    ents = parse_quads(
+        quads,
+        ParseOptions(
+            create_context=True, set_node_context=True, convert_hk=True,
+            text_literal_as_node=True,
+        ),
+    )
+    e = {r["id"]: r.asDict(recursive=True) for r in ents.collect()}
+    assert e["<http://e/a>"]["type"] == C.NODE
+    cn = _content_id("writer")
+    assert cn in e and e[cn]["properties"]["data"] == ["writer"]
+    tagged = [
+        x for x in e.values()
+        if x["type"] == C.LINK and (x["metaProperties"] or {}).get(LIT)
+    ]
+    assert len(tagged) == 1
