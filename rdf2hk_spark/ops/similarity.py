@@ -2,12 +2,15 @@
 
 - ``cosine_topk``    — brute-force exact top-k: the baseline and the verifier
   for approximate variants. The query side is broadcast (it is k·dim floats);
-  the corpus side streams, so the plan is a single broadcast nested loop with
-  no shuffle except the per-query top-k aggregate.
+  the corpus side streams, and the top-k is a bounded two-phase aggregation
+  (per-partition partial top-k → merge), so no aggregation buffer ever holds
+  more than one partition's scores.
 - ``lsh_buckets`` / ``ann_topk_lsh`` — random-hyperplane LSH: deterministic
   pseudo-random planes derived from md5 (portable to the SQL oracle), bucket
   join + exact re-rank inside the bucket. At 10^12 scale the bucket join
   replaces the O(n·q) scan with O(candidates).
+- ``embedding_near_duplicates`` — cosine near-dup pairs via the LSH buckets
+  (capped per bucket) + exact verify; the dedup-pipeline scale path.
 
 Scores are emitted rounded (×10^4, as integers) so Spark and the DuckDB oracle
 compare bit-equal despite floating-point summation-order differences.
