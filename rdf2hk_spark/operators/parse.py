@@ -294,28 +294,6 @@ def resolve_property_targets(
     )
 
 
-def create_references(lits_resolved: DataFrame, opts: ParseOptions) -> DataFrame:
-    """A6 (parser.js:129-141,354-364): mint Reference entities for literal
-    statements whose subject belongs to another context. ``ref`` and
-    ``parent`` keep the RAW term strings, exactly as createReference does."""
-    if opts.only_hk:
-        return lits_resolved.sparkSession.createDataFrame(
-            [], "id string, ref string, parent string"
-        )
-    return (
-        lits_resolved.filter(F.col("needs_ref"))
-        .select(
-            F.col("target_id").alias("id"),
-            F.col("s_m").alias("ref"),
-            F.col("parent"),
-            "stmt_idx",
-        )
-        .groupBy("id")
-        .agg(F.min_by(F.struct("ref", "parent"), "stmt_idx").alias("e"))
-        .select("id", "e.ref", "e.parent")
-    )
-
-
 def _with_value_cols(l: DataFrame) -> DataFrame:
     """Annotate resolved literal rows with the decoded property value and the
     classification flags shared by A5 aggregation and A7 text-literal nodes.
@@ -478,77 +456,6 @@ def aggregate_properties_fused(
         F.col("rinfo.ref").alias("ref"),
         F.col("rinfo.parent").alias("ref_parent"),
     )
-
-
-def aggregate_properties(lits_resolved: DataFrame, opts: ParseOptions) -> DataFrame:
-    """A5 (parser.js:312-371,399-525): literal statements → per-entity
-    properties / metaProperties maps, values in statement order.
-
-    Value encoding parity (parser.js:399-421 + utils.js:220-264):
-      - lang literal  → ``"v"@lang`` (re-encoded into the value string)
-      - numeric xsd   → JS ``Number().toString()`` canonical form
-      - boolean xsd   → 'true' / 'false'
-      - anything else → bare inner value string
-      - value ``"<hk://id/null>"^^<T>`` (after conversion) sets ONLY a
-        metaProperty (parser.js:410-420)
-    """
-    if opts.only_hk:
-        lits_resolved = lits_resolved.filter(~F.col("needs_ref"))
-    l = _annotated_property_rows(lits_resolved, opts)
-
-    def _structs(col: str) -> F.Column:
-        return F.collect_list(
-            F.when(F.col(col).isNotNull(), F.struct("stmt_idx", F.col(col)))
-        )
-
-    def _finish(col: str, structs: F.Column) -> F.Column:
-        # stmt_idx-ordered values, nulls (non-applicable rows) dropped
-        return F.transform(F.sort_array(structs), lambda x: x[col])
-
-    if opts.property_salt and opts.property_salt > 1:
-        # two-phase salted aggregate: the per-(key, salt) partials bound any
-        # single reducer's input; the merge re-sorts by stmt_idx so the
-        # result is identical to the unsalted plan
-        salted = l.withColumn(
-            "_salt", (F.col("stmt_idx") % opts.property_salt).cast("int")
-        )
-        partial = salted.groupBy("target_id", "prop", "_salt").agg(
-            _structs("pval").alias("ps"), _structs("mval").alias("ms")
-        )
-        per_key = partial.groupBy("target_id", "prop").agg(
-            _finish("pval", F.flatten(F.collect_list("ps"))).alias("pvals"),
-            _finish("mval", F.flatten(F.collect_list("ms"))).alias("mvals"),
-        )
-    else:
-        per_key = l.groupBy("target_id", "prop").agg(
-            _finish("pval", _structs("pval")).alias("pvals"),
-            _finish("mval", _structs("mval")).alias("mvals"),
-        )
-
-    if opts.text_literal_as_node:
-        # setProperty / setMetaProperty overwrite: the data#Literal tag keeps
-        # only the LAST statement's predicate id (parser.js:430-436)
-        lit_key = T.id_from_resource(F.lit(C.DATA_LITERAL_URI))
-
-        def _last(col: str) -> F.Column:
-            return F.when(
-                F.col("prop") == lit_key, F.slice(F.col(col), -1, 1)
-            ).otherwise(F.col(col))
-
-        per_key = per_key.withColumn("pvals", _last("pvals")).withColumn(
-            "mvals", _last("mvals")
-        )
-
-    def _map_of(col: str) -> F.Column:
-        entries = F.collect_list(
-            F.when(F.size(F.col(col)) > 0, F.struct("prop", F.col(col)))
-        )
-        return F.when(F.size(entries) > 0, F.map_from_entries(entries))
-
-    return per_key.groupBy("target_id").agg(
-        _map_of("pvals").alias("properties"),
-        _map_of("mvals").alias("metaProperties"),
-    ).select(F.col("target_id").alias("id"), "properties", "metaProperties")
 
 
 def text_literal_entities(lits_resolved: DataFrame, opts: ParseOptions) -> DataFrame:
@@ -1094,8 +1001,14 @@ def parse_quads(
         "id", "type", "parent"
     )
     lits_resolved = resolve_property_targets(uq, opts, directory)
-    refs = create_references(lits_resolved, opts)
-    props = aggregate_properties(lits_resolved, opts)
+    # one aggregation tree yields both the property maps and the Reference
+    # mint; Catalyst prunes the map assembly out of the refs branch and the
+    # shuffle is reused, so this replaces two keyed shuffles with one
+    pr = aggregate_properties_fused(lits_resolved, opts)
+    refs = pr.filter(F.col("needs_ref")).select(
+        "id", "ref", F.col("ref_parent").alias("parent")
+    )
+    props = pr.select("id", "properties", "metaProperties")
 
     ref_e = prio(refs, 7, True, C.REFERENCE)
     if convert_hk or custom:
