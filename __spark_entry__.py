@@ -482,6 +482,15 @@ def q_ann_lsh_buckets(spark, sf_dir):
     return similarity.lsh_buckets(_embs(spark, sf_dir), planes=8)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k: nearest-centroid cells (16 deterministic
+    centroids), 4 probed cells per query, exact re-rank within."""
+    e = _embs(spark, sf_dir)
+    return similarity.ivf_topk(
+        e, e.filter(F.col("vec_id") < 10), k=5, n_cells=16, n_probe=4
+    )
+
+
 def q_embed_neardup(spark, sf_dir):
     """Embedding-cosine near-dup: LSH bucket candidates + exact cosine ≥ 0.95.
     Every 100th vector is re-seeded under id+10^6 (an exact duplicate, cosine
@@ -540,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash": q_doc_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embed_neardup": q_embed_neardup,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
@@ -979,6 +989,50 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, ''
                               ORDER BY p) AS bucket
             FROM b GROUP BY id
+        """,
+        "ann_ivf_topk": """
+            WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            cents AS (SELECT id AS cell, v AS cv FROM e WHERE id < 16),
+            asg AS (
+              SELECT id, cell FROM (
+                SELECT e.id, c.cell,
+                       row_number() OVER (
+                         PARTITION BY e.id
+                         ORDER BY list_dot_product(e.v, c.cv) DESC, c.cell
+                       ) AS rn
+                FROM e CROSS JOIN cents c
+              ) WHERE rn = 1
+            ),
+            q AS (SELECT id AS q_id, v AS qv FROM e WHERE id < 10),
+            probes AS (
+              SELECT q_id, cell FROM (
+                SELECT q.q_id, c.cell,
+                       row_number() OVER (
+                         PARTITION BY q.q_id
+                         ORDER BY list_dot_product(q.qv, c.cv) DESC, c.cell
+                       ) AS rn
+                FROM q CROSS JOIN cents c
+              ) WHERE rn <= 4
+            ),
+            s AS (
+              SELECT q.q_id, e.id AS cand_id,
+                     CAST(round(list_dot_product(q.qv, e.v) * 10000) AS BIGINT)
+                       AS score_e4
+              FROM probes p
+              JOIN asg a ON a.cell = p.cell
+              JOIN e ON e.id = a.id
+              JOIN q ON q.q_id = p.q_id
+              WHERE e.id <> q.q_id
+            ),
+            r AS (
+              SELECT q_id, cand_id, score_e4,
+                     row_number() OVER (PARTITION BY q_id
+                                        ORDER BY score_e4 DESC, cand_id) AS rnk
+              FROM s
+            )
+            SELECT q_id, rnk::INTEGER AS rank, cand_id, score_e4
+            FROM r WHERE rnk <= 5
         """,
         "embed_neardup": f"""
             WITH e0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v

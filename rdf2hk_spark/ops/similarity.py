@@ -18,7 +18,7 @@ compare bit-equal despite floating-point summation-order differences.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from rdf2hk_spark.ops.hashing import md5_int
 
@@ -118,6 +118,77 @@ def lsh_buckets(
         F.transform(dim_w, lambda s: F.when(s > 0, F.lit("1")).otherwise(F.lit("0"))),
     )
     return embeddings.select(F.col(id_col).alias("id"), sig.alias("bucket"))
+
+
+def ivf_cells(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its nearest centroid
+    (max dot, ties to the lowest cell id). Centroids are the ``n_cells``
+    lowest-id vectors — deterministic and oracle-portable; a k-means-trained
+    codebook plugs in by swapping this frame (the assignment join is the
+    same). Centroids are O(n_cells·dim) ⇒ broadcast. Returns (id, cell)."""
+    cents = embeddings.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("c_vec")
+    )
+    scored = embeddings.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col).alias("id"),
+        "cell",
+        _dot(F.col(vec_col), F.col("c_vec")).alias("cs"),
+    )
+    return scored.groupBy("id").agg(
+        F.max_by("cell", F.struct(F.col("cs"), (-F.col("cell")).alias("nc"))).alias(
+            "cell"
+        )
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: each query probes its ``n_probe`` closest cells
+    and re-ranks exactly within them (bounded two-phase top-k). At 10^12
+    scale the probed cells replace the O(n·q) scan with O(n·n_probe/n_cells)
+    — the classic inverted-file trade; rank may be < k when probed cells are
+    thin (that is the approximation). Same output shape as cosine_topk."""
+    cells = ivf_cells(embeddings, n_cells, id_col, vec_col)
+    e = embeddings.join(cells, embeddings[id_col] == cells["id"]).select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"), "cell"
+    )
+    cents = embeddings.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("c_vec")
+    )
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    qc = q.crossJoin(F.broadcast(cents)).select(
+        "q_id", "q_vec", "cell", _dot(F.col("q_vec"), F.col("c_vec")).alias("cs")
+    )
+    w_rank = F.row_number().over(
+        Window.partitionBy("q_id").orderBy(F.desc("cs"), F.asc("cell"))
+    )
+    probes = qc.withColumn("_r", w_rank).filter(F.col("_r") <= n_probe).select(
+        "q_id", "q_vec", "cell"
+    )
+    scored = (
+        e.join(F.broadcast(probes), "cell")
+        .filter(F.col("cand_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "cand_id",
+            F.round(_dot(F.col("q_vec"), F.col("c_vec")) * 1e4)
+            .cast("long")
+            .alias("score_e4"),
+        )
+    )
+    return _topk(scored, k)
 
 
 def embedding_near_duplicates(

@@ -180,3 +180,20 @@ def test_embedding_near_duplicates_finds_seeded_pair(spark):
     expected = round(float(np.float32(0) + sum(
         float(np.float32(x)) * float(np.float32(x)) for x in v)) * 1e4)
     assert abs(pairs[(7, 1007)] - expected) <= 1
+
+
+def test_ivf_topk_recall_against_bruteforce(spark):
+    e = _synth_embeddings(spark, 400, dim=8)
+    q = e.filter(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(e, q, k=5).collect()
+    approx = similarity.ivf_topk(e, q, k=5, n_cells=8, n_probe=8).collect()
+    # probing ALL cells makes IVF exhaustive → identical to brute force
+    assert sorted(map(tuple, approx)) == sorted(map(tuple, exact))
+    partial = similarity.ivf_topk(e, q, k=5, n_cells=8, n_probe=2).collect()
+    # fewer probes: a valid (possibly thinner) subset ranking, same queries
+    assert {r["q_id"] for r in partial} == {0, 1, 2, 3, 4}
+    by_q = {}
+    for r in partial:
+        by_q.setdefault(r["q_id"], []).append(r["score_e4"])
+    for scores in by_q.values():
+        assert scores == sorted(scores, reverse=True)
