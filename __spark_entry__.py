@@ -151,6 +151,54 @@ def q_kg_remove_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id")
 
 
+_HKV_G = "<urn:hk:g/hkv>"
+
+
+def _hk_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quads + synthesized Hyperknowledge-vocabulary statements (per
+    nation: an isa-typed entity alternating node/context, plus a
+    usesConnector link shell), parsed with convertHK — the H-family
+    reconstruction exercised against an independent oracle."""
+    key = (sf_dir, "hkv")
+    df = _ENTITY_CACHE.get(key)
+    if df is not None:
+        return df
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    k = F.col("n_nationkey").cast("string")
+    idx = F.col("n_nationkey").cast("long") * 10 + F.lit(3 * 10**12)
+    g = F.lit(_HKV_G)
+
+    def stmt(off: int, s, p: str, o) -> DataFrame:
+        return nation.select(
+            (idx + off).alias("stmt_idx"), s.alias("s"),
+            F.lit(p).alias("p"), o.alias("o"), g.alias("g"),
+        )
+
+    ent = F.concat(F.lit("<urn:hk:hk/"), k, F.lit(">"))
+    lnk = F.concat(F.lit("<urn:hk:hklink/"), k, F.lit(">"))
+    isa_obj = F.when(
+        F.col("n_nationkey") % 2 == 0, F.lit(C.NODE_URI)
+    ).otherwise(F.lit(C.CONTEXT_URI))
+    hk_quads = (
+        stmt(0, ent, C.ISA_URI, isa_obj)
+        .unionByName(stmt(1, lnk, C.USES_CONNECTOR_URI, F.lit("<urn:hk:p/inRegion>")))
+    )
+    quads = tpch_kg.quads_df(spark, sf_dir).unionByName(hk_quads)
+    opts = ParseOptions(create_context=True, set_node_context=True, convert_hk=True)
+    df = parse_quads(quads, opts).localCheckpoint()
+    _ENTITY_CACHE[key] = df
+    return df
+
+
+def q_kg_hk_shells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1/H2: isa statements type entities (parent = graph), usesConnector
+    mints link shells with the connector set."""
+    e = _hk_entities(spark, sf_dir)
+    return e.filter(F.col("id").startswith("<urn:hk:hk")).select(
+        "id", F.col("type").alias("etype"), "parent", "connector"
+    )
+
+
 _OWL = "http://www.w3.org/2002/07/owl#"
 _RDFS = "http://www.w3.org/2000/01/rdf-schema#"
 _OWL_G = "<urn:hk:g/owl>"
@@ -535,6 +583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_remove_cascade": q_kg_remove_cascade,
         "kg_text_literal_nodes": q_kg_text_literal_nodes,
         "kg_text_literal_links": q_kg_text_literal_links,
+        "kg_hk_shells": q_kg_hk_shells,
         "kg_owl_restrictions": q_kg_owl_restrictions,
         "kg_owl_connectors": q_kg_owl_connectors,
         "kg_time_anchors": q_kg_time_anchors,
@@ -762,6 +811,18 @@ def oracle_sql() -> dict[str, str]:
                 WHERE substr(o, 1, 1) = '<'
                   AND (s = '<urn:hk:nation/0>' OR o = '<urn:hk:nation/0>')
               )
+        """,
+        "kg_hk_shells": """
+            SELECT '<urn:hk:hk/' || n_nationkey || '>' AS id,
+                   CASE WHEN n_nationkey % 2 = 0 THEN 'node'
+                        ELSE 'context' END AS etype,
+                   '<urn:hk:g/hkv>' AS parent,
+                   NULL::VARCHAR AS connector
+            FROM nation
+            UNION ALL
+            SELECT '<urn:hk:hklink/' || n_nationkey || '>', 'link',
+                   '<urn:hk:g/hkv>', '<urn:hk:p/inRegion>'
+            FROM nation
         """,
         "kg_owl_restrictions": """
             SELECT '<hk://link/' || md5('_:rp' || p_partkey::VARCHAR
