@@ -22,7 +22,7 @@ def _opts(allow_reference: bool) -> ParseOptions:
 @pytest.mark.parametrize("allow_reference", [True, False])
 def test_exactly_one_context(spark, allow_reference):
     quads = spark.createDataFrame(FX.quads(), QUAD_SCHEMA)
-    ents = parse_quads(quads, _opts(allow_reference))
+    ents = parse_quads(quads, _opts(allow_reference), persist=False)
     rows = {r["id"]: r.asDict(recursive=True) for r in ents.collect()}
     ctxs = [e for e in rows.values() if e["type"] == C.CONTEXT]
     assert len(ctxs) == 1
@@ -33,7 +33,7 @@ def test_allow_reference_structure(spark):
     quads = spark.createDataFrame(FX.quads(), QUAD_SCHEMA)
     rows = {
         r["id"]: r.asDict(recursive=True)
-        for r in parse_quads(quads, _opts(True)).collect()
+        for r in parse_quads(quads, _opts(True), persist=False).collect()
     }
     by_type = {}
     for e in rows.values():
@@ -55,7 +55,7 @@ def test_reparent_variant_moves_nodes(spark):
     quads = spark.createDataFrame(FX.quads(), QUAD_SCHEMA)
     rows = {
         r["id"]: r.asDict(recursive=True)
-        for r in parse_quads(quads, _opts(False)).collect()
+        for r in parse_quads(quads, _opts(False), persist=False).collect()
     }
     p = rows[f"<{FX.WD}Q1131864>"]
     assert p["parent"] == FX.Q193019  # re-parented into the context
