@@ -283,6 +283,62 @@ def q_kg_owl_connectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SOWL_G = "<urn:hk:g/sowl>"
+
+
+def q_kg_owl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6 (SimpleOwlSerializer inverse): serialize(parse_with_simple_owl(
+    corpus + per-part OWL TBox), convert_owl=True) reproduces every input
+    quad byte-exactly EXCEPT the (s, rdf:type, owl:ObjectProperty) typing
+    statements, which both sides of the round trip absorb into the FACTS
+    connector shell (simpleowlparser.js:105-115). OWL-vocab-predicate
+    statements come back as RESOURCE triples via simpleowlserializer.js:63-77
+    — the quoted-literal artifact that existed before convert_owl is the
+    exact failure this oracle guards."""
+    key = (sf_dir, "sowl_rt")
+    df = _ENTITY_CACHE.get(key)
+    if df is not None:
+        return df
+    from rdf2hk_spark.operators.owl import parse_with_simple_owl
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        F.col("p_partkey") % 50 == 0
+    )
+    k = F.col("p_partkey").cast("string")
+    subj = F.concat(F.lit("<urn:hk:p/brand"), k, F.lit(">"))
+    idx = F.col("p_partkey").cast("long") * 10 + F.lit(2 * 10**12)
+    g = F.lit(_SOWL_G)
+
+    def stmt(off: int, p: str, o) -> DataFrame:
+        return part.select(
+            (idx + off).alias("stmt_idx"), subj.alias("s"),
+            F.lit(p).alias("p"), o.alias("o"), g.alias("g"),
+        )
+
+    brand = F.concat(F.lit("<urn:hk:brand/"), F.col("p_brand"), F.lit(">"))
+    size_lit = F.concat(
+        F.lit('"'), F.col("p_size").cast("string"),
+        F.lit('"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+    )
+    tbox = (
+        stmt(0, C.RDF_TYPE_URI, F.lit(f"<{_OWL}ObjectProperty>"))
+        .unionByName(stmt(1, f"<{_RDFS}domain>", F.lit("<urn:hk:part>")))
+        .unionByName(stmt(2, f"<{_RDFS}range>", brand))
+        .unionByName(
+            stmt(3, f"<{_OWL}inverseOf>",
+                 F.concat(F.lit("<urn:hk:p/brandOf"), k, F.lit(">")))
+        )
+        .unionByName(stmt(4, f"<{_OWL}hasValue>", size_lit))
+    )
+    quads = tpch_kg.quads_df(spark, sf_dir).unionByName(tbox)
+    ents = parse_with_simple_owl(quads, KG_OPTS)
+    out = serialize_entities(
+        ents, SerializeOptions(convert_owl=True, default_graph=C.HK_NULL_URI)
+    ).select("s", "p", "o", "g").localCheckpoint()
+    _ENTITY_CACHE[key] = out
+    return out
+
+
 _TIME = "http://www.w3.org/2006/time#"
 _TIME_G = "<urn:hk:g/time>"
 
@@ -586,6 +642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_hk_shells": q_kg_hk_shells,
         "kg_owl_restrictions": q_kg_owl_restrictions,
         "kg_owl_connectors": q_kg_owl_connectors,
+        "kg_owl_roundtrip": q_kg_owl_roundtrip,
         "kg_time_anchors": q_kg_time_anchors,
         "kg_time_links": q_kg_time_links,
         "kg_titles": q_kg_titles,
@@ -851,6 +908,32 @@ def oracle_sql() -> dict[str, str]:
                '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>', 0,
                '<http://www.w3.org/2002/07/owl#Restriction>')
             ) AS t(id, prop, idx, value)
+        """,
+        "kg_owl_roundtrip": f"""
+            WITH {_Q}
+            SELECT s, p, o, g FROM quads
+            UNION ALL
+            SELECT '<urn:hk:p/brand' || p_partkey || '>',
+                   '<http://www.w3.org/2000/01/rdf-schema#domain>',
+                   '<urn:hk:part>', '<urn:hk:g/sowl>'
+            FROM part WHERE p_partkey % 50 = 0
+            UNION ALL
+            SELECT '<urn:hk:p/brand' || p_partkey || '>',
+                   '<http://www.w3.org/2000/01/rdf-schema#range>',
+                   '<urn:hk:brand/' || p_brand || '>', '<urn:hk:g/sowl>'
+            FROM part WHERE p_partkey % 50 = 0
+            UNION ALL
+            SELECT '<urn:hk:p/brand' || p_partkey || '>',
+                   '<http://www.w3.org/2002/07/owl#inverseOf>',
+                   '<urn:hk:p/brandOf' || p_partkey || '>', '<urn:hk:g/sowl>'
+            FROM part WHERE p_partkey % 50 = 0
+            UNION ALL
+            SELECT '<urn:hk:p/brand' || p_partkey || '>',
+                   '<http://www.w3.org/2002/07/owl#hasValue>',
+                   '"' || p_size
+                       || '"^^<http://www.w3.org/2001/XMLSchema#integer>',
+                   '<urn:hk:g/sowl>'
+            FROM part WHERE p_partkey % 50 = 0
         """,
         "kg_titles": f"""
             WITH {_Q}, {_NODES_CTE}

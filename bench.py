@@ -26,6 +26,21 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
+    # Load guard: a busy host contaminates the measurement (round-2 driver
+    # bench recorded 102.7s under co-running load vs 71.3s clean — VERDICT.md
+    # round 2). Record load before/after; flag the run when the host was
+    # already busy at start. SPARK_GRAFT_LOAD_MAX overrides the threshold.
+    load_before = os.getloadavg()[0]
+    load_max = float(os.environ.get("SPARK_GRAFT_LOAD_MAX", str(max(cpus * 0.25, 4))))
+    contended = load_before > load_max
+    if contended:
+        print(
+            f"WARNING: host 1-min loadavg {load_before:.1f} > {load_max:.1f} "
+            "at bench start — measurement likely contaminated; rerun on an "
+            "idle host (set SPARK_GRAFT_LOAD_MAX to override).",
+            file=sys.stderr,
+        )
+
     from rdf2hk_spark.session import get_spark
 
     spark = get_spark(app="rdf2hk_spark_bench", cpus=cpus)
@@ -124,6 +139,12 @@ def main() -> None:
                 "counts": counts,
                 "throughput": throughput,
                 "sf": sf,
+                "load": {
+                    "loadavg_before": round(load_before, 2),
+                    "loadavg_after": round(os.getloadavg()[0], 2),
+                    "threshold": load_max,
+                    "contended_at_start": contended,
+                },
             }
         )
     )

@@ -32,6 +32,7 @@ OBJECT_PROPERTY_URIS = [
 # equivalentProperty (simpleowlparser.js:17-21)
 OWL_VOCABULARY = OBJECT_PROPERTY_URIS + [
     f"<{OWL}Class>", f"<{OWL}Thing>", f"<{OWL}NamedIndividual>",
+    f"<{OWL}DatatypeProperty>", f"<{OWL}topDataProperty>",
     f"<{OWL}imports>", f"<{OWL}Ontology>", f"<{OWL}inverseOf>",
     f"<{OWL}Restriction>", f"<{OWL}onProperty>", f"<{OWL}someValuesFrom>",
     f"<{OWL}allValuesFrom>", f"<{OWL}hasValue>", f"<{OWL}AnnotationProperty>",

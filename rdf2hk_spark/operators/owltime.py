@@ -91,7 +91,15 @@ def parse_with_owl_time(
     opts: ParseOptions | None = None,
     time_context: str | None = None,
 ) -> DataFrame:
-    """parse_quads with convertOwlTime semantics."""
+    """parse_quads with convertOwlTime semantics.
+
+    NOTE (eagerness): construction runs ONE eager Spark job — a map-side
+    partial ``min_by(g, stmt_idx)`` + count aggregate over the consumed
+    OWL-Time statements (single output row, no global sort) — to pick the
+    time context and detect the no-op case. The anchor/interface
+    assembly also assumes a single time context whose anchors are bounded
+    in number (they funnel through one context's interface list, matching
+    the reference's in-memory `timeContext` at owltimeparser.js:34-45)."""
     opts = opts or ParseOptions()
     spark = quads.sparkSession
 
@@ -114,10 +122,13 @@ def parse_with_owl_time(
     tq = q2.filter(consumed).drop("_an")
     base = parse_quads(q2.filter(~consumed).drop("_an"), opts)
 
-    first = tq.orderBy("stmt_idx").limit(1).collect()
-    if not first:
+    # one partial-aggregate job, not a global sort (see docstring note)
+    first = tq.select(
+        F.min_by("g", "stmt_idx").alias("g"), F.count("*").alias("n")
+    ).first()
+    if first["n"] == 0:
         return base  # no OWL-Time statements — plugin is a no-op
-    ctx_id = time_context or first[0]["g"]
+    ctx_id = time_context or first["g"]
     if ctx_id is None or ctx_id == C.HK_NULL_URI:
         ctx_id = C.HK_NULL_URI
 

@@ -28,7 +28,16 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from rdf2hk_spark import constants as C
 from rdf2hk_spark.functions import terms as T
+from rdf2hk_spark.operators.owl import OWL_VOCABULARY
 from rdf2hk_spark.ops.hashing import md5_int
+
+# owlserializer.js:14-17 — the (unwired-in-the-reference) predicate-set
+# variant re-emits exactly these predicates as resources
+OWL_PREDICATE_SET = [
+    C.RDF_TYPE_URI,
+    "<http://www.w3.org/2000/01/rdf-schema#range>",
+    "<http://www.w3.org/2000/01/rdf-schema#domain>",
+]
 
 
 @dataclass
@@ -40,6 +49,17 @@ class SerializeOptions:
     skip_ref_nodes: bool = False
     inverse_ref_node: bool = False  # no-op in the reference too (serializer.js:274-281)
     convert_number: bool = False
+    # O6 inverse — SimpleOwlSerializer (simpleowlserializer.js:20-82, wired
+    # at serializer.js:14,343): properties whose KEY is OWL vocabulary, or
+    # whose VALUE (any array element) is, re-emit URI/bnode-shaped values as
+    # RESOURCE triples instead of quoted literals (and skip array
+    # JSON-reification), so parse_with_simple_owl ∘ serialize round-trips.
+    convert_owl: bool = False
+    # owlserializer.js:20-54 variant (never wired by the reference's
+    # serializer.js, which imports simpleowlserializer): trigger on the
+    # rdf:type/rdfs:range/rdfs:domain predicate set only; non-URI values
+    # become UNTYPED string literals (the reference stringifies, no datatype).
+    owl_predicate_set: bool = False
     reify_array: bool | None = None  # None → defaults to convert_hk (serializer.js:56-63)
     default_graph: str | None = None
     suppress_duplicates: bool = True
@@ -135,12 +155,59 @@ def _emit_property_quads(
     n_vals = F.coalesce(F.size("vals"), F.lit(0))
     n_metas = F.coalesce(F.size("metas"), F.lit(0))
 
-    # meta-only: value null, metaProperty set (serializer.js:333-341)
+    # meta-only: value null, metaProperty set (serializer.js:333-341).
+    # This branch precedes the convertOwl check in the reference too
+    # (the null-value early-return at serializer.js:333 fires first).
     meta_only = rows.filter((n_vals == 0) & (n_metas > 0)).select(
         subj.alias("s"), pred.alias("p"),
         _literal_term(F.lit(None).cast("string"), F.col("metas")[0]).alias("o"),
         g.alias("g"),
     )
+
+    owl_out = None
+    if opts.convert_owl or opts.owl_predicate_set:
+        if opts.owl_predicate_set:
+            # owlserializer.js:33-35: predicate-set trigger only
+            is_owl = (n_vals > 0) & F.col("key").isin(OWL_PREDICATE_SET)
+        else:
+            # simpleowlserializer.js:27-46: key ∈ vocab OR any value ∈ vocab
+            vocab_arr = F.array(*[F.lit(u) for u in OWL_VOCABULARY])
+            is_owl = (n_vals > 0) & (
+                F.col("key").isin(OWL_VOCABULARY)
+                | F.arrays_overlap(
+                    F.coalesce(F.col("vals"), F.array().cast("array<string>")),
+                    vocab_arr,
+                )
+            )
+        owl_rows = rows.filter(is_owl)
+        # claimed properties skip the default path entirely (the `return` at
+        # serializer.js:346) — including array dedup AND JSON reification
+        rows = rows.filter(~is_owl)
+        # convertProperty iterates the RAW value array (no dedup,
+        # simpleowlserializer.js:49-61); per-index metaProperty alignment
+        # follows the default array path's rule (serializer.js:361-368) —
+        # the reference passes the whole metaProperty array into
+        # createLiteralObject, a JS type hole we resolve per-index.
+        owl_elems = owl_rows.select(
+            subj.alias("s"), pred.alias("p"), g.alias("g"),
+            "metas", "vals", F.posexplode("vals").alias("i", "v"),
+        )
+        meta_i = F.when(
+            n_metas == F.size("vals"), F.col("metas").getItem(F.col("i"))
+        ).otherwise(F.col("metas")[0])
+        if opts.owl_predicate_set:
+            # owlserializer.js:44-46: non-URI values stringify UNTYPED
+            lit = F.concat(F.lit('"'), F.col("v"), F.lit('"'))
+        else:
+            # simpleowlserializer.js:73: createLiteralObject(v, null, meta)
+            lit = _literal_term(F.col("v"), meta_i)
+        owl_out = owl_elems.select(
+            "s", "p",
+            F.when(
+                T.is_uri(F.col("v")) | T.is_blank_node(F.col("v")), F.col("v")
+            ).otherwise(lit).alias("o"),
+            "g",
+        )
 
     # scalar: single value (JS scalar property) (serializer.js:373-380)
     scalar = rows.filter(n_vals == 1).select(
@@ -168,6 +235,8 @@ def _emit_property_quads(
     )
 
     out = meta_only.unionByName(scalar).unionByName(arr_elems)
+    if owl_out is not None:
+        out = out.unionByName(owl_out)
 
     if opts.reify_array:
         # JSON reification of the PRE-dedup array (serializer.js:349-354);

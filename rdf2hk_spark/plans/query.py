@@ -137,6 +137,7 @@ def context_closure(entities: DataFrame, root: str) -> DataFrame:
     )
     frontier = edges.sparkSession.createDataFrame([(root,)], "id string")
     seen = frontier
+    prev_ckpt = None
     for _ in range(64):  # hard depth bound
         nxt = (
             edges.join(
@@ -147,8 +148,16 @@ def context_closure(entities: DataFrame, root: str) -> DataFrame:
         )
         if nxt.isEmpty():
             break
-        seen = seen.unionByName(nxt).cache()
+        # localCheckpoint materializes eagerly (contexts are tiny by
+        # construction), truncates lineage, and lets us release the previous
+        # iteration's blocks — no cached-RDD leak across deep hierarchies.
+        new_seen = seen.unionByName(nxt).localCheckpoint()
+        if prev_ckpt is not None:
+            prev_ckpt.unpersist()
+        prev_ckpt = new_seen
+        seen = new_seen
         frontier = nxt
+    edges.unpersist()
     return seen
 
 
@@ -190,23 +199,77 @@ def remove_entities(entities: DataFrame, ids: list[str]) -> DataFrame:
     return entities.filter(~F.coalesce(doomed, F.lit(False)))
 
 
-def from_uris(entities: DataFrame, ids: list[str], level: int = 0) -> DataFrame:
-    """Q9 (sparqlfactory.js:342-401): DESCRIBE-style neighborhood fetch.
-    level 0 = the entities themselves; level 1 additionally pulls every link
-    touching them plus the entities those links bind. (The reference's
-    className branch hits an undefined-variable bug at sparqlfactory.js:371;
-    we implement the working subset.)"""
+def from_uris(
+    entities: DataFrame,
+    ids: list[str],
+    level: int = 0,
+    class_name: str | None = None,
+) -> DataFrame:
+    """Q9 (sparqlfactory.js:342-410): DESCRIBE-style neighborhood fetch.
+
+    level 0 = the seed entities themselves; each further level pulls every
+    link touching the current frontier plus the entities those links bind or
+    use as connector (the HK analog of ``describe ?s ?o``). ``class_name``
+    restricts the SEED set only, matching the reference's intent at
+    sparqlfactory.js:370-373 — there the generated clause references
+    ``RDFS_TYPE_URI``, an undefined variable (a reference bug); we implement
+    the intended className restriction instead of inheriting the crash.
+
+    The frontier is a DataFrame throughout (semi-join expansion, no
+    ``collect``), so level>1 recursion never funnels ids through the driver —
+    each hop is semi-joins over the links partition. For level>1 each hop's
+    frontier is ``localCheckpoint``-ed (eager): without it the self-
+    referencing plan tree grows ~3^level; with it the plan stays linear."""
     base = entities.filter(F.col("id").isin(ids))
+    if class_name is not None:
+        base = base.filter(F.col("className") == class_name)
     if level <= 0:
         return base
-    links = get_links(entities, ids)
-    neighbor_ids = links.select(
-        F.explode("binds").alias("b")
-    ).select(F.col("b.comp").alias("id")).union(
-        links.select(F.col("connector").alias("id"))
-    ).distinct()
-    neighbors = entities.join(neighbor_ids, "id", "left_semi")
-    return base.unionByName(links).unionByName(neighbors).dropDuplicates(["id"])
+
+    links = entities.filter(F.col("type") == C.LINK)
+    seen = base.select("id").distinct()
+    frontier = seen
+    conn_acc: DataFrame | None = None
+    for _ in range(level):
+        # links touching the frontier: by own id, connector, or bound comp
+        by_id = links.join(frontier, "id", "left_semi").select("id")
+        by_conn = links.join(
+            frontier.select(F.col("id").alias("connector")),
+            "connector", "left_semi",
+        ).select("id")
+        by_bind = (
+            links.select("id", F.explode("binds").alias("b"))
+            .join(
+                frontier.select(F.col("id").alias("_fid")),
+                F.col("b.comp") == F.col("_fid"), "left_semi",
+            )
+            .select("id")
+        )
+        touched = by_id.unionByName(by_conn).unionByName(by_bind).distinct()
+        tlinks = links.join(touched, "id", "left_semi")
+        comps = (
+            tlinks.select(F.explode("binds").alias("b"))
+            .select(F.col("b.comp").alias("id"))
+            .distinct()
+        )
+        # connectors land in the RESULT but never seed the next hop —
+        # expanding through a shared predicate would pull every link using
+        # it, which is not a neighborhood (describe never expands predicates)
+        connectors = tlinks.select(F.col("connector").alias("id")).distinct()
+        conn_acc = connectors if conn_acc is None else conn_acc.unionByName(connectors)
+        fresh = (
+            touched.unionByName(comps).distinct()
+            .join(seen, "id", "left_anti")
+        )
+        if level > 1:
+            # re-alias after the checkpoint: localCheckpoint keeps the
+            # original exprIds, which would collide with links' own `id`
+            # in the next hop's join (Conflicting attributes error)
+            fresh = fresh.localCheckpoint().select(F.col("id").alias("id"))
+        seen = seen.unionByName(fresh)
+        frontier = fresh
+    result_ids = seen.unionByName(conn_acc).distinct()
+    return entities.join(result_ids, "id", "left_semi")
 
 
 def get_rdf(quads: DataFrame, s=None, p=None, o=None, g=None,
@@ -232,7 +295,7 @@ _HK_HIDDEN = [
 ]
 
 
-def filter_hk(quads: DataFrame) -> Column:
+def filter_hk(quads: DataFrame) -> DataFrame:
     """P14: exclude HK-vocabulary statements from user-visible RDF."""
     return quads.filter(
         ~F.col("p").isin(_HK_HIDDEN)

@@ -34,6 +34,7 @@ _UNESCAPE_TOKEN_RE = (
     r"|\\u[0-9A-Fa-f]{4}"
     r"|\\U[0-9A-Fa-f]{8}"
     r"|\\."
+    r"|\\"  # lone backslash (trailing, or before a newline '\\.' can't match)
     r"|[^\\]+)"
 )
 
@@ -76,6 +77,8 @@ def _unescape(col):
             .when(t == "\\t", F.lit("\t"))
             .when(t == "\\b", F.lit("\b"))
             .when(t == "\\f", F.lit("\f"))
+            # lone trailing backslash: pass through, never silently drop
+            .when(t == "\\", F.lit("\\"))
             # unknown escape: lenient, keep the escaped char
             .when(t.startswith("\\"), F.substring(t, 2, 1))
             .otherwise(t)

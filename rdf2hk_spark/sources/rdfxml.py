@@ -17,6 +17,7 @@ property attributes, and xml:base resolution. Anything else raises
 
 from __future__ import annotations
 
+import re
 import xml.etree.ElementTree as ET
 
 from rdf2hk_spark import constants as C
@@ -24,6 +25,14 @@ from rdf2hk_spark import constants as C
 RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 _RDF = "{" + RDF_NS + "}"
 _XML = "{http://www.w3.org/XML/1998/namespace}"
+
+# Same absolute-IRI test the Turtle reader uses: any scheme (urn:, mailto:,
+# http:, ...) counts as absolute, not just '://' forms.
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+
+
+def _resolve(iri: str, base: str) -> str:
+    return iri if not base or _SCHEME_RE.match(iri) else base + iri
 
 
 class RdfXmlSyntaxError(ValueError):
@@ -53,7 +62,7 @@ class _Reader:
         rid = el.get(_RDF + "ID")
         nid = el.get(_RDF + "nodeID")
         if about is not None:
-            return f"<{base + about if base and '://' not in about else about}>"
+            return f"<{_resolve(about, base)}>"
         if rid is not None:
             return f"<{base}#{rid}>"
         if nid is not None:
@@ -84,7 +93,8 @@ class _Reader:
         pt = el.get(_RDF + "parseType")
         kids = list(el)
         if res is not None:
-            self.rows.append((s, p, f"<{res}>"))
+            # rdf:resource is base-resolved exactly like rdf:about.
+            self.rows.append((s, p, f"<{_resolve(res, base)}>"))
             return
         if nid is not None:
             self.rows.append((s, p, f"_:{nid}"))
@@ -163,8 +173,6 @@ def to_rdfxml(quads: list[tuple[str, str, str, str]] | list[tuple]) -> str:
     """Quad rows → an RDF/XML document (driver-side sink, S5). Accepts
     (s, p, o, g) tuples (graph ignored — RDF/XML has no named graphs, the
     reference's serializer flattens too, graphfactory.js:168-189)."""
-    import re
-
     ET.register_namespace("rdf", RDF_NS)
     root = ET.Element(_RDF + "RDF")
     by_subject: dict[str, list[tuple[str, str]]] = {}
@@ -180,7 +188,13 @@ def to_rdfxml(quads: list[tuple[str, str, str, str]] | list[tuple]) -> str:
         for p, o in pos:
             if not (p.startswith("<") and p.endswith(">")):
                 raise RdfXmlSyntaxError(f"predicate {p!r} is not an IRI")
-            ns, local = re.match(r"^(.*[#/])([^#/]+)$", p[1:-1]).groups()
+            m_ns = re.match(r"^(.*[#/])([^#/]+)$", p[1:-1])
+            if m_ns is None:
+                # e.g. <urn:isbn:123> — no '#'/'/' namespace split exists.
+                raise RdfXmlSyntaxError(
+                    f"cannot derive an XML namespace for predicate {p!r}"
+                )
+            ns, local = m_ns.groups()
             prop = ET.SubElement(node, "{" + ns + "}" + local)
             if o.startswith("<"):
                 prop.set(_RDF + "resource", o.strip("<>"))

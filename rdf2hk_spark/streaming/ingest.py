@@ -50,14 +50,15 @@ def stream_dedup_exact(
     the streaming checkpoint) are suppressed and counted.
 
     State per md5(text): (keep_id, n_seen). Output one row per NEWLY seen
-    hash: (h, keep_id). keep_id = min doc id within the first batch that
-    carried the hash (deterministic under shuffle order). At 10^12-doc scale
-    the state store shards by hash exactly like the batch groupBy — no
-    driver-side state, no all-pairs."""
+    hash: (h, keep_id). keep_id = min doc id (as a string — ids are kept
+    untyped so non-numeric ids never become silent nulls) within the first
+    batch that carried the hash (deterministic under shuffle order). At
+    10^12-doc scale the state store shards by hash exactly like the batch
+    groupBy — no driver-side state, no all-pairs."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     hashed = docs.select(
-        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(id_col).cast("string").alias("doc_id"),
         F.md5(F.encode(F.col(text_col), "UTF-8")).alias("h"),
     )
 
@@ -69,19 +70,19 @@ def stream_dedup_exact(
         for pdf in pdfs:
             n += len(pdf)
             if len(pdf):
-                m = int(pdf["doc_id"].min())
+                m = str(pdf["doc_id"].min())
                 min_id = m if min_id is None else min(min_id, m)
         if state.exists:
             keep_id, seen = state.get
-            state.update((int(keep_id), int(seen) + n))
+            state.update((keep_id, int(seen) + n))
             return iter(())  # duplicate hash — suppress
         state.update((min_id, n))
         yield pd.DataFrame({"h": [key[0]], "keep_id": [min_id]})
 
     return hashed.groupBy("h").applyInPandasWithState(
         dedup_fn,
-        outputStructType="h string, keep_id long",
-        stateStructType="keep_id long, n_seen long",
+        outputStructType="h string, keep_id string",
+        stateStructType="keep_id string, n_seen long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -115,7 +115,7 @@ class TestStatefulDedup:
         outp = str(tmp_path / "sout")
         rows = self._run(spark, inp, ckpt, outp)
         got = {(r["keep_id"]) for r in rows}
-        assert got == {1, 2}  # alpha kept once (min id), beta kept
+        assert got == {"1", "2"}  # alpha kept once (min id), beta kept
 
         # second batch arrives: a replayed duplicate + a new doc — state in
         # the checkpoint suppresses the replay across the restart
@@ -123,7 +123,7 @@ class TestStatefulDedup:
             [(4, "alpha"), (5, "gamma")], "doc_id long, text string"
         ).write.mode("append").parquet(inp)
         rows2 = self._run(spark, inp, ckpt, outp)
-        assert {r["keep_id"] for r in rows2} == {1, 2, 5}
+        assert {r["keep_id"] for r in rows2} == {"1", "2", "5"}
 
 
 class TestUpdateDiff:

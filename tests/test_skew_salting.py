@@ -66,3 +66,23 @@ def test_from_uris_level1(spark):
     assert "<http://e/a>" in got and "<http://e/b>" in got
     assert "<http://p/r>" in got  # the connector
     assert "<http://e/c>" not in got  # unrelated island excluded
+
+
+def test_from_uris_level2_and_classname(spark):
+    # chain a -r-> b -r-> c -r-> d: level 2 from a reaches c but not d
+    rows = [
+        (0, "<http://e/a>", "<http://p/r>", "<http://e/b>", "<hk://id/null>"),
+        (1, "<http://e/b>", "<http://p/r>", "<http://e/c>", "<hk://id/null>"),
+        (2, "<http://e/c>", "<http://p/r>", "<http://e/d>", "<hk://id/null>"),
+    ]
+    ents = parse_quads(spark.createDataFrame(rows, QUAD_SCHEMA), ParseOptions())
+    got2 = {r["id"] for r in Q.from_uris(ents, ["<http://e/a>"], level=2).collect()}
+    assert {"<http://e/a>", "<http://e/b>", "<http://e/c>"} <= got2
+    assert "<http://e/d>" not in got2  # 3 hops away
+    got3 = {r["id"] for r in Q.from_uris(ents, ["<http://e/a>"], level=3).collect()}
+    assert "<http://e/d>" in got3
+    # className restricts the SEED set (fixed reference bug sparqlfactory.js:371)
+    none = Q.from_uris(
+        ents, ["<http://e/a>"], level=1, class_name="<http://no/such>"
+    )
+    assert none.count() == 0
