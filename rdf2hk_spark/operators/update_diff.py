@@ -14,7 +14,9 @@ reference's "move all triples to the new graph" rule (sparqlfactory.js:442+).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from rdf2hk_spark.operators.serialize import SerializeOptions, serialize_entities
 
@@ -68,3 +70,102 @@ def apply_update(quad_store: DataFrame, delta: DataFrame) -> DataFrame:
     ins = delta.filter(F.col("op") == "insert").select("s", "p", "o", "g")
     kept = quad_store.select("s", "p", "o", "g").exceptAll(dels)
     return kept.unionByName(ins)
+
+
+# ---------------------------------------------------------------------------
+# Engine-executed MERGE on a graph-partitioned parquet store
+# ---------------------------------------------------------------------------
+# The reference's update path mutates a triplestore graph by graph
+# (sparqlfactory.js:442-673 — every DELETE/INSERT is scoped `GRAPH <g>`).
+# The distributed analog is a quad store physically partitioned by graph:
+# a merge then only ever reads AND rewrites the partitions its delta
+# touches — the partition-pruned MERGE SURVEY §1.5 promises (Iceberg's
+# MERGE INTO does the same via manifest pruning; this is the no-extra-jars
+# parquet realization with the same I/O shape).
+#
+# Partition key: md5(g) — deterministic, filesystem-safe (graph URIs carry
+# '/', ':' and '#'), uniform (no hot directories when one tenant owns many
+# graphs... the skew moves inside the partition, where AQE handles it).
+
+_GPART = "gpart"
+
+
+def _gpart(col="g") -> F.Column:
+    return F.md5(F.encode(F.col(col), "UTF-8"))
+
+
+def write_quad_store(quads: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Write quads as a graph-partitioned parquet store (dir per md5(g))."""
+    (
+        quads.select("s", "p", "o", "g", _gpart().alias(_GPART))
+        .write.mode(mode).partitionBy(_GPART).parquet(path)
+    )
+
+
+def read_quad_store(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path).select("s", "p", "o", "g")
+
+
+def merge_into_store(spark: SparkSession, path: str, delta: DataFrame) -> list[str]:
+    """Engine-executed MERGE: apply an (op, s, p, o, g) delta to the store at
+    ``path``, reading and rewriting ONLY the graph partitions the delta
+    touches. Untouched partition files are never opened, never rewritten.
+
+    Commit protocol (Hive-style insert-overwrite): the merged result for the
+    touched partitions is first written to a staging directory, then swapped
+    in with per-partition directory renames — a crash before the swap leaves
+    the store intact. Driver-side work is bounded by the NUMBER of touched
+    partitions (metadata scale, exactly like Iceberg manifest planning), not
+    by data volume. Fully-emptied partitions are deleted, partitions for
+    graphs new to the store are created.
+
+    Returns the touched partition keys (md5(g)) for lineage/metrics.
+
+    Reference parity: sparqlfactory.js:442-673 GRAPH-scoped DELETE/INSERT,
+    including reparenting — a moved entity deletes from its old graph's
+    partition and inserts into the new one, both of which are in the delta's
+    touched set by construction (update_quads emits both sides)."""
+    keys = [
+        r[_GPART]
+        for r in delta.select(_gpart().alias(_GPART)).distinct().collect()
+    ]
+    if not keys:
+        return []
+
+    sc = spark.sparkContext
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+
+    # read ONLY the touched partitions: a literal IN-filter on the partition
+    # column prunes at planning time (PartitionFilters in the scan node)
+    existing = [k for k in keys if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/{_GPART}={k}"))]
+    if existing:
+        touched_store = (
+            spark.read.parquet(path)
+            .filter(F.col(_GPART).isin(existing))
+            .select("s", "p", "o", "g")
+        )
+    else:
+        touched_store = spark.createDataFrame(
+            [], "s string, p string, o string, g string"
+        )
+    merged = apply_update(touched_store, delta)
+
+    staging = f"{path}/.merge-staging-{uuid.uuid4().hex}"
+    (
+        merged.select("s", "p", "o", "g", _gpart().alias(_GPART))
+        .write.mode("overwrite").partitionBy(_GPART).parquet(staging)
+    )
+
+    # swap: delete each touched partition dir, move in its staged replacement
+    # (absent staged dir = every row of that partition was deleted)
+    for k in keys:
+        dst = jvm.org.apache.hadoop.fs.Path(f"{path}/{_GPART}={k}")
+        src = jvm.org.apache.hadoop.fs.Path(f"{staging}/{_GPART}={k}")
+        if fs.exists(dst):
+            fs.delete(dst, True)
+        if fs.exists(src):
+            fs.rename(src, dst)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+    return keys

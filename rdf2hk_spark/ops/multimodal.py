@@ -1,10 +1,13 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing is real and tested — schemas, partition-friendly
-Arrow batching, mapInPandas signatures, deterministic fake decoders — while
-the actual codec calls are stubbed behind ``_HAS_CODECS`` (the image/audio
-libraries are not in this container). Swapping in Pillow/torchaudio/ffmpeg is
-a one-function change per modality; nothing about the distributed plan moves.
+Arrow batching, mapInPandas signatures — and the codec layer is a RUNTIME
+probe per modality (``codec_caps()``): when Pillow / soundfile / PyAV are
+importable the real decoder runs, otherwise a deterministic digest fake
+stands in so the distributed data flow is exercised end-to-end either way.
+The probe runs lazily inside the executor-side UDF (module import order and
+driver/executor environment splits don't matter); nothing about the
+distributed plan moves when a codec appears.
 
 Design for 100 TB of media:
 - media rides in parquet/Iceberg BINARY columns next to typed metadata
@@ -24,7 +27,35 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-_HAS_CODECS = False  # real decoders (PIL / torchaudio / av) not in container
+_CODEC_CAPS: dict[str, bool] | None = None
+
+
+def codec_caps() -> dict[str, bool]:
+    """Runtime codec probe, one import-try per modality, cached per process
+    (runs on each executor the first time a decode UDF batch arrives)."""
+    global _CODEC_CAPS
+    if _CODEC_CAPS is None:
+        caps = {}
+        try:
+            from PIL import Image  # noqa: F401
+
+            caps["image"] = True
+        except Exception:
+            caps["image"] = False
+        try:
+            import soundfile  # noqa: F401
+
+            caps["audio"] = True
+        except Exception:
+            caps["audio"] = False
+        try:
+            import av  # noqa: F401
+
+            caps["video"] = True
+        except Exception:
+            caps["video"] = False
+        _CODEC_CAPS = caps
+    return _CODEC_CAPS
 
 MEDIA_SCHEMA = (
     "media_id long, mime string, payload binary, width int, height int,"
@@ -66,19 +97,56 @@ def synthetic_media(spark, n: int, seed: str = "media") -> DataFrame:
     )
 
 
-def _decode_stub(payload: bytes, mime: str) -> bytes:
-    """Stub decode: a real implementation dispatches on mime to PIL/ffmpeg.
-    The deterministic fake returns a digest-expanded pseudo-raster so
-    downstream stages exercise real data flow."""
-    if _HAS_CODECS:  # pragma: no cover
-        raise NotImplementedError("wire PIL/torchaudio/av decoders here")
+def _decode_fake(payload: bytes) -> bytes:
+    """Deterministic digest-expanded pseudo-raster (128 bytes) so downstream
+    stages exercise real data flow when no codec is installed."""
     d = hashlib.sha256(payload).digest()
-    return d * 4  # 128 pseudo-pixels
+    return d * 4
 
 
-def extract_features(media: DataFrame, dim: int = 32) -> DataFrame:
+def _decode(payload: bytes, mime: str, use_codecs: bool | None = None) -> bytes:
+    """Decode to raw bytes: real codec when the modality's library is
+    importable, deterministic fake otherwise. An installed codec that cannot
+    decode the payload raises (corrupt media must surface, not silently
+    degrade to the fake). ``use_codecs`` pins the path: False forces the
+    fake (synthetic corpora), True demands a real codec, None probes."""
+    modality = mime.split("/", 1)[0]
+    enabled = codec_caps().get(modality, False) if use_codecs is None else use_codecs
+    if not enabled:
+        return _decode_fake(payload)
+    if modality == "image":
+        import io
+
+        from PIL import Image
+
+        with Image.open(io.BytesIO(payload)) as im:
+            return im.convert("L").tobytes()
+    if modality == "audio":
+        import io
+
+        import soundfile as sf
+
+        data, _sr = sf.read(io.BytesIO(payload), dtype="int16")
+        return data.tobytes()
+    if modality == "video":  # pragma: no cover - av not in CI container
+        import io
+
+        import av
+
+        with av.open(io.BytesIO(payload)) as container:
+            for frame in container.decode(video=0):
+                return frame.to_ndarray(format="gray").tobytes()
+        raise ValueError("video payload contains no decodable frame")
+    return _decode_fake(payload)
+
+
+def extract_features(
+    media: DataFrame, dim: int = 32, use_codecs: bool | None = None
+) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow-batched). Features are
-    deterministic functions of the payload bytes — unit-normalized float32."""
+    deterministic functions of the decoded bytes — unit-normalized float32.
+    ``use_codecs``: None probes per executor, False forces the digest fake
+    (synthetic corpora), True demands real codecs."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -86,7 +154,7 @@ def extract_features(media: DataFrame, dim: int = 32) -> DataFrame:
         for pdf in it:
             feats = []
             for payload, mime in zip(pdf["payload"], pdf["mime"]):
-                raw = _decode_stub(bytes(payload), mime)
+                raw = _decode(bytes(payload), mime, use_codecs)
                 arr = np.frombuffer(raw, dtype=np.uint8)[: dim * 4]
                 v = arr.astype(np.float32).reshape(-1)[:dim]
                 if v.size < dim:
@@ -105,16 +173,33 @@ def extract_features(media: DataFrame, dim: int = 32) -> DataFrame:
     return media.mapInPandas(batches, FEATURE_SCHEMA)
 
 
-def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
-    """Resize plumbing: filters to images, batches payloads through the stub
-    resizer, returns (media_id, payload, width, height)."""
+def resize_images(
+    media: DataFrame, width: int = 64, height: int = 64,
+    use_codecs: bool | None = None,
+) -> DataFrame:
+    """Resize: filters to images and batches payloads through Pillow when it
+    is installed (real LANCZOS resample → raw greyscale raster of exactly
+    width×height bytes), else through the deterministic fake raster."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        has_pil = codec_caps()["image"] if use_codecs is None else use_codecs
         for pdf in it:
             out = []
             for payload in pdf["payload"]:
-                raw = _decode_stub(bytes(payload), "image/*")
-                out.append(raw[: width * height // 64])  # stub "raster"
+                if has_pil:
+                    import io
+
+                    from PIL import Image
+
+                    with Image.open(io.BytesIO(bytes(payload))) as im:
+                        out.append(
+                            im.convert("L")
+                            .resize((width, height), Image.LANCZOS)
+                            .tobytes()
+                        )
+                else:
+                    raw = _decode_fake(bytes(payload))
+                    out.append(raw[: width * height // 64])  # fake "raster"
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

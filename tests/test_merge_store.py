@@ -1,0 +1,136 @@
+"""Engine-executed MERGE on the graph-partitioned parquet store: only the
+partitions a delta touches are read or rewritten (sparqlfactory.js:442-673
+GRAPH-scoped DELETE/INSERT, realized as a partition-pruned rewrite)."""
+
+import hashlib
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdf2hk_spark.operators import update_diff as U
+
+QUAD_SCHEMA = "s string, p string, o string, g string"
+DELTA_SCHEMA = "op string, s string, p string, o string, g string"
+
+G1, G2, G3 = "<http://g/1>", "<http://g/2>", "<http://g/3>"
+
+
+def gpart(g: str) -> str:
+    return hashlib.md5(g.encode()).hexdigest()
+
+
+def part_files(path: str, g: str) -> dict[str, float]:
+    d = os.path.join(path, f"gpart={gpart(g)}")
+    if not os.path.isdir(d):
+        return {}
+    return {
+        f: os.path.getmtime(os.path.join(d, f))
+        for f in os.listdir(d)
+        if not f.startswith(("_", "."))
+    }
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    path = str(tmp_path / "store")
+    rows = [
+        ("<http://a>", "<http://p>", "<http://b>", G1),
+        ("<http://c>", "<http://p>", "<http://d>", G2),
+        ("<http://c>", "<http://q>", '"x"', G2),
+        ("<http://e>", "<http://p>", "<http://f>", G3),
+    ]
+    U.write_quad_store(spark.createDataFrame(rows, QUAD_SCHEMA), path)
+    return path
+
+
+def quadset(df):
+    return {(r["s"], r["p"], r["o"], r["g"]) for r in df.collect()}
+
+
+def test_merge_rewrites_only_touched_partitions(spark, store):
+    before_g1 = part_files(store, G1)
+    before_g3 = part_files(store, G3)
+    assert before_g1 and before_g3
+
+    delta = spark.createDataFrame(
+        [
+            ("delete", "<http://c>", "<http://q>", '"x"', G2),
+            ("insert", "<http://c>", "<http://q>", '"y"', G2),
+        ],
+        DELTA_SCHEMA,
+    )
+    keys = U.merge_into_store(spark, store, delta)
+    assert keys == [gpart(G2)]
+
+    # untouched partitions: identical files, identical mtimes
+    assert part_files(store, G1) == before_g1
+    assert part_files(store, G3) == before_g3
+
+    got = quadset(U.read_quad_store(spark, store))
+    assert ("<http://c>", "<http://q>", '"y"', G2) in got
+    assert ("<http://c>", "<http://q>", '"x"', G2) not in got
+    assert ("<http://a>", "<http://p>", "<http://b>", G1) in got
+    assert len(got) == 4
+
+
+def test_merge_scan_is_partition_pruned(spark, store):
+    """The touched-partition read carries a PartitionFilters IN-clause —
+    untouched directories are pruned at planning time, not filtered at
+    runtime."""
+    pruned = spark.read.parquet(store).filter(
+        F.col("gpart").isin([gpart(G2)])
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and gpart(G2) in plan
+    files = [
+        r[0] for r in pruned.select(F.input_file_name()).distinct().collect()
+    ]
+    assert files and all(f"gpart={gpart(G2)}" in f for f in files)
+
+
+def test_merge_empties_and_creates_partitions(spark, store):
+    delta = spark.createDataFrame(
+        [
+            # delete EVERY row of g3 → its partition directory must vanish
+            ("delete", "<http://e>", "<http://p>", "<http://f>", G3),
+            # insert into a graph new to the store → new partition appears
+            ("insert", "<http://n>", "<http://p>", "<http://m>", "<http://g/new>"),
+        ],
+        DELTA_SCHEMA,
+    )
+    keys = U.merge_into_store(spark, store, delta)
+    assert set(keys) == {gpart(G3), gpart("<http://g/new>")}
+    assert part_files(store, G3) == {}
+    assert part_files(store, "<http://g/new>")
+    got = quadset(U.read_quad_store(spark, store))
+    assert ("<http://e>", "<http://p>", "<http://f>", G3) not in got
+    assert ("<http://n>", "<http://p>", "<http://m>", "<http://g/new>") in got
+
+
+def test_merge_reparenting_moves_across_partitions(spark, store):
+    """update_quads' reparenting rule: a moved entity's quads delete from the
+    old graph partition and insert into the new one in ONE merge."""
+    delta = spark.createDataFrame(
+        [
+            ("delete", "<http://a>", "<http://p>", "<http://b>", G1),
+            ("insert", "<http://a>", "<http://p>", "<http://b>", G2),
+        ],
+        DELTA_SCHEMA,
+    )
+    keys = U.merge_into_store(spark, store, delta)
+    assert set(keys) == {gpart(G1), gpart(G2)}
+    got = quadset(U.read_quad_store(spark, store))
+    assert ("<http://a>", "<http://p>", "<http://b>", G1) not in got
+    assert ("<http://a>", "<http://p>", "<http://b>", G2) in got
+    # g1 now empty → partition dropped
+    assert part_files(store, G1) == {}
+
+
+def test_empty_delta_is_noop(spark, store):
+    before = {g: part_files(store, g) for g in (G1, G2, G3)}
+    keys = U.merge_into_store(
+        spark, store, spark.createDataFrame([], DELTA_SCHEMA)
+    )
+    assert keys == []
+    assert {g: part_files(store, g) for g in (G1, G2, G3)} == before

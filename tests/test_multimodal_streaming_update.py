@@ -26,8 +26,10 @@ class TestMultimodal:
         ).count() == 0
 
     def test_feature_extraction_batch_shape(self, spark):
+        # use_codecs=False pins the deterministic fake path (synthetic
+        # payloads are not decodable media)
         m = multimodal.synthetic_media(spark, 30)
-        feats = multimodal.extract_features(m, dim=16)
+        feats = multimodal.extract_features(m, dim=16, use_codecs=False)
         rows = feats.collect()
         assert len(rows) == 30
         assert all(len(r["feature"]) == 16 for r in rows)
@@ -43,9 +45,42 @@ class TestMultimodal:
 
     def test_resize_filters_to_images(self, spark):
         m = multimodal.synthetic_media(spark, 30)
-        out = multimodal.resize_images(m, 32, 32)
+        out = multimodal.resize_images(m, 32, 32, use_codecs=False)
         assert out.count() == m.filter(F.col("mime") == "image/png").count()
         assert set(out.columns) == {"media_id", "payload", "width", "height"}
+
+    def test_codec_probe_shape(self):
+        caps = multimodal.codec_caps()
+        assert set(caps) == {"image", "audio", "video"}
+        assert all(isinstance(v, bool) for v in caps.values())
+
+    @pytest.mark.skipif(
+        not multimodal.codec_caps()["image"], reason="Pillow not installed"
+    )
+    def test_real_image_codec_path(self, spark):
+        """With Pillow present: a REAL png decodes through the real path —
+        features derive from actual pixel data, resize returns an exact
+        width×height greyscale raster."""
+        import io
+
+        from PIL import Image
+
+        def png(color):
+            im = Image.new("RGB", (8, 6), color)
+            buf = io.BytesIO()
+            im.save(buf, format="PNG")
+            return buf.getvalue()
+
+        rows = [
+            (0, "image/png", png((255, 0, 0)), 8, 6, 0, "h0"),
+            (1, "image/png", png((0, 0, 255)), 8, 6, 0, "h1"),
+        ]
+        m = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+        feats = {r["media_id"]: r["feature"]
+                 for r in multimodal.extract_features(m, dim=8, use_codecs=True).collect()}
+        assert len(feats) == 2
+        rs = multimodal.resize_images(m, 4, 3, use_codecs=True).collect()
+        assert all(len(bytes(r["payload"])) == 4 * 3 for r in rs)
 
     def test_frame_sampling(self, spark):
         m = multimodal.synthetic_media(spark, 30)
