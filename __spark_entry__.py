@@ -534,14 +534,20 @@ def q_doc_dedup_exact(spark, sf_dir):
 
 
 def q_doc_minhash(spark, sf_dir):
-    sh = dedup.word_shingles(_docs(spark, sf_dir), k=3)
-    return dedup.minhash_signatures(sh, num_hashes=16)
+    """Signature computed per-row (shingle array → array_min per hash): no
+    shuffle at all, vs the word_shingles ∘ minhash_signatures groupBy path."""
+    return dedup.minhash_signature_rows(
+        _docs(spark, sf_dir), k=3, num_hashes=16
+    )
 
 
 def q_doc_lsh_pairs(spark, sf_dir):
-    sh = dedup.word_shingles(_docs(spark, sf_dir), k=3)
-    sig = dedup.minhash_signatures(sh, num_hashes=16)
-    return dedup.lsh_candidate_pairs(sig, bands=4, rows_per_band=4, max_bucket=50)
+    """Banding-before-shuffle: band keys computed map-side; the bucket
+    groupBy is the FIRST shuffle and carries 4 rows/doc instead of 16."""
+    keys = dedup.lsh_band_keys(
+        _docs(spark, sf_dir), k=3, num_hashes=16, bands=4, rows_per_band=4
+    )
+    return dedup.lsh_candidate_pairs_from_keys(keys, max_bucket=50)
 
 
 _JACCARD_DF_CAP = 100  # max doc-frequency of a shingle used for pair generation
@@ -595,17 +601,72 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
-def q_embed_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup: LSH bucket candidates + exact cosine ≥ 0.95.
-    Every 100th vector is re-seeded under id+10^6 (an exact duplicate, cosine
-    1.0 and same bucket) so the green row verifies real pairs."""
-    e = _embs(spark, sf_dir).select("vec_id", "embedding")
+def _neardup_corpus(spark, sf_dir) -> DataFrame:
+    """Embeddings (as double arrays) + two seeded duplicate families:
+    exact copies (id+10^6, cosine 1.0 — always same bucket) and NEAR
+    duplicates (id+2·10^6, cosine ≈0.96: a deterministic md5-derived
+    perturbation of ‖p‖≈0.29 then re-normalized). At 0.96 one 8-plane LSH
+    table catches only ~(1-θ/π)^8 ≈ 47% of the near pairs — the seeded set a
+    single-table scheme provably misses and OR-amplification recovers."""
+    from rdf2hk_spark.ops.hashing import md5_int
+
+    e = _embs(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
     dupes = e.filter(F.col("vec_id") % 100 == 0).select(
-        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
     )
+    near_base = e.filter(F.col("vec_id") % 50 == 25)
+    u = F.transform(
+        F.sequence(F.lit(0), F.size("embedding") - 1),
+        lambda d: md5_int(
+            F.concat(F.col("vec_id").cast("string"), F.lit("#"), d.cast("string"))
+        ).cast("double") / 1e6 - 0.5,
+    )
+    raw = F.zip_with(F.col("embedding"), u, lambda x, w: x + F.lit(0.125) * w)
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(raw, lambda x: x * x), F.lit(0.0), lambda a, v: a + v
+        )
+    )
+    # two-step select: renaming vec_id in the SAME select would make the
+    # lateral-column-alias resolver bind the perturbation's F.col("vec_id")
+    # to the shifted id, changing every md5 seed
+    near = near_base.select(
+        "vec_id", F.transform(raw, lambda x: x / norm).alias("embedding")
+    ).select((F.col("vec_id") + 2_000_000).alias("vec_id"), "embedding")
+    return e.unionByName(dupes).unionByName(near)
+
+
+def q_embed_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup, multi-table (OR-amplified) LSH: 4
+    independent 8-plane tables (plane offsets 0/8/16/24), pair-dedup across
+    tables, exact cosine ≥ 0.95 verify. The seeded cosine-0.96 near pairs
+    (see _neardup_corpus) are largely invisible to any single table."""
     return similarity.embedding_near_duplicates(
-        e.unionByName(dupes), threshold_e4=9500, planes=8
+        _neardup_corpus(spark, sf_dir), threshold_e4=9500, planes=8, tables=4
     )
+
+
+def q_ann_ivf_trained(spark, sf_dir):
+    """IVF top-k with a TRAINED codebook: 2 seeded k-means iterations as
+    DataFrame aggregations (fixed-point ×10^4 integer centroids — engine-
+    portable), then the same probed re-rank as ann_ivf_topk."""
+    e = _embs(spark, sf_dir)
+    cb = similarity.ivf_train(e, n_cells=16, iters=2)
+    return similarity.ivf_topk(
+        e, e.filter(F.col("vec_id") < 10), k=5, n_cells=16, n_probe=4,
+        centroids=cb,
+    )
+
+
+def q_kg_from_uris(spark, sf_dir):
+    """Q9 fromUris at level 2: the 2-hop neighborhood of nation/0 — links
+    touching the frontier plus the entities they bind, connectors included
+    in the result but never expanded through."""
+    e = _entities(spark, sf_dir)
+    return plans_query.from_uris(e, ["<urn:hk:nation/0>"], level=2).select("id")
 
 
 def q_doc_token_stats(spark, sf_dir):
@@ -656,7 +717,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_trained": q_ann_ivf_trained,
         "embed_neardup": q_embed_neardup,
+        "kg_from_uris": q_kg_from_uris,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
         "doc_langid": q_doc_langid,
@@ -765,6 +828,30 @@ _W_PD = (
     "CAST(substr(regexp_replace(md5(p::VARCHAR || ',' || (d-1)::VARCHAR),"
     " '[a-f]', '', 'g') || '000000', 1, 6) AS BIGINT)"
 )
+
+# per-dimension perturbation integer for the seeded near-duplicates
+_U_ID_D = (
+    "CAST(substr(regexp_replace(md5(id::VARCHAR || '#' || (d-1)::VARCHAR),"
+    " '[a-f]', '', 'g') || '000000', 1, 6) AS BIGINT)"
+)
+
+
+def _ivf_assign_sql(cents: str) -> str:
+    """Nearest-centroid assignment (max dot, ties to lowest cell)."""
+    return f"""SELECT id, cell FROM (
+                SELECT e.id, c.cell,
+                       row_number() OVER (PARTITION BY e.id
+                         ORDER BY list_dot_product(e.v, c.cv) DESC, c.cell
+                       ) AS rn
+                FROM e CROSS JOIN {cents} c) WHERE rn = 1"""
+
+
+def _ivf_means_sql(asg: str) -> str:
+    """Fixed-point (×10^4 integer) per-dimension centroid means."""
+    return f"""SELECT a.cell, dd.d,
+                      CAST(round(avg(e.v[dd.d]) * 10000) AS BIGINT) AS m
+               FROM {asg} a JOIN e ON e.id = a.id CROSS JOIN dims dd
+               GROUP BY a.cell, dd.d"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1181,37 +1268,133 @@ def oracle_sql() -> dict[str, str]:
         "embed_neardup": f"""
             WITH e0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
                         FROM embeddings),
+            pr AS (
+              SELECT id,
+                     list_transform(generate_series(1, len(v)),
+                       d -> v[d] + 0.125 * ({_U_ID_D} / 1000000.0 - 0.5)) AS rv
+              FROM e0 WHERE id % 50 = 25
+            ),
+            near AS (
+              SELECT id + 2000000 AS id,
+                     list_transform(rv,
+                       x -> x / sqrt(list_sum(list_transform(rv, y -> y * y)))
+                     ) AS v
+              FROM pr
+            ),
             e AS (
               SELECT id, v FROM e0
               UNION ALL
               SELECT id + 1000000, v FROM e0 WHERE id % 100 = 0
+              UNION ALL
+              SELECT id, v FROM near
             ),
             b AS (
-              SELECT id, p,
+              SELECT id, p // 8 AS tbl, p,
                      list_sum(list_transform(generate_series(1, len(v)),
                        d -> v[d] * ({_W_PD} / 1000000.0 - 0.5))) AS s
-              FROM e CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS p) ps
+              FROM e CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS p) ps
             ),
             bk AS (
-              SELECT id,
+              SELECT id, tbl,
                      string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, ''
                                 ORDER BY p) AS bucket
-              FROM b GROUP BY id
+              FROM b GROUP BY id, tbl
             ),
             sized AS (
-              SELECT bucket FROM bk GROUP BY bucket
+              SELECT tbl, bucket FROM bk GROUP BY tbl, bucket
               HAVING count(*) BETWEEN 2 AND 1000
             ),
             eb AS (
-              SELECT bk.id, bk.bucket, e.v
-              FROM bk JOIN e USING (id) JOIN sized USING (bucket)
+              SELECT bk.id, bk.tbl, bk.bucket
+              FROM bk JOIN sized USING (tbl, bucket)
+            ),
+            cand AS (
+              SELECT DISTINCT x.id AS a, y.id AS b
+              FROM eb x JOIN eb y
+                ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.id < y.id
             )
-            SELECT x.id AS a, y.id AS b,
-                   CAST(round(list_dot_product(x.v, y.v) * 10000) AS BIGINT)
+            SELECT c.a, c.b,
+                   CAST(round(list_dot_product(ea.v, eb2.v) * 10000) AS BIGINT)
                      AS score_e4
-            FROM eb x JOIN eb y ON x.bucket = y.bucket AND x.id < y.id
-            WHERE CAST(round(list_dot_product(x.v, y.v) * 10000) AS BIGINT)
+            FROM cand c JOIN e ea ON ea.id = c.a JOIN e eb2 ON eb2.id = c.b
+            WHERE CAST(round(list_dot_product(ea.v, eb2.v) * 10000) AS BIGINT)
                   >= 9500
+        """,
+        "ann_ivf_trained": f"""
+            WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            dims AS (SELECT unnest(generate_series(1,
+                       (SELECT len(v) FROM e LIMIT 1))) AS d),
+            c0 AS (SELECT id AS cell, v AS cv FROM e WHERE id < 16),
+            a0 AS ({_ivf_assign_sql('c0')}),
+            m1 AS ({_ivf_means_sql('a0')}),
+            c1 AS (SELECT cell, list(m::DOUBLE ORDER BY d) AS cv
+                   FROM m1 GROUP BY cell),
+            a1 AS ({_ivf_assign_sql('c1')}),
+            m2 AS ({_ivf_means_sql('a1')}),
+            c2 AS (SELECT cell, list(m::DOUBLE ORDER BY d) AS cv
+                   FROM m2 GROUP BY cell),
+            asg AS ({_ivf_assign_sql('c2')}),
+            q AS (SELECT id AS q_id, v AS qv FROM e WHERE id < 10),
+            probes AS (
+              SELECT q_id, cell FROM (
+                SELECT q.q_id, c.cell,
+                       row_number() OVER (
+                         PARTITION BY q.q_id
+                         ORDER BY list_dot_product(q.qv, c.cv) DESC, c.cell
+                       ) AS rn
+                FROM q CROSS JOIN c2 c
+              ) WHERE rn <= 4
+            ),
+            s AS (
+              SELECT q.q_id, e.id AS cand_id,
+                     CAST(round(list_dot_product(q.qv, e.v) * 10000) AS BIGINT)
+                       AS score_e4
+              FROM probes p
+              JOIN asg a ON a.cell = p.cell
+              JOIN e ON e.id = a.id
+              JOIN q ON q.q_id = p.q_id
+              WHERE e.id <> q.q_id
+            ),
+            r AS (
+              SELECT q_id, cand_id, score_e4,
+                     row_number() OVER (PARTITION BY q_id
+                                        ORDER BY score_e4 DESC, cand_id) AS rnk
+              FROM s
+            )
+            SELECT q_id, rnk::INTEGER AS rank, cand_id, score_e4
+            FROM r WHERE rnk <= 5
+        """,
+        "kg_from_uris": f"""
+            WITH {_Q},
+            res AS (
+              SELECT s, p, o,
+                     '<hk://link/' || md5(s || p || o || g) || '>' AS lid
+              FROM quads WHERE substr(o, 1, 1) = '<'
+            ),
+            l1 AS (
+              SELECT * FROM res
+              WHERE s = '<urn:hk:nation/0>' OR o = '<urn:hk:nation/0>'
+            ),
+            n1 AS (
+              SELECT '<urn:hk:nation/0>' AS id
+              UNION SELECT lid FROM l1
+              UNION SELECT s FROM l1
+              UNION SELECT o FROM l1
+            ),
+            l2 AS (
+              SELECT * FROM res
+              WHERE s IN (SELECT id FROM n1) OR o IN (SELECT id FROM n1)
+            ),
+            ids AS (
+              SELECT id FROM n1
+              UNION SELECT lid FROM l2
+              UNION SELECT s FROM l2
+              UNION SELECT o FROM l2
+              UNION SELECT p FROM l1
+              UNION SELECT p FROM l2
+            )
+            SELECT DISTINCT id FROM ids
         """,
         "doc_token_stats": """
             SELECT doc_id AS id, length(text)::BIGINT AS n_chars,

@@ -37,18 +37,26 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
-def word_shingles(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
-) -> DataFrame:
-    """Distinct word k-shingles per document: (id, shingle)."""
-    toks = F.split(F.lower(F.col(text_col)), " ")
+def shingle_array(text_col: F.Column, k: int = 3) -> F.Column:
+    """Distinct word k-shingles of a text column, as an array expression
+    (pure per-row compute — the building block both the exploded and the
+    map-side signature paths share)."""
+    toks = F.split(F.lower(text_col), " ")
     # guard: Spark sequence(0, n) DESCENDS when n < 0 — short docs yield none
     sh = F.when(F.size(toks) >= k, F.transform(
         F.sequence(F.lit(0), F.size(toks) - k),
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)]),
     )).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(sh)
+
+
+def word_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Distinct word k-shingles per document: (id, shingle)."""
     return df.select(
-        F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle")
+        F.col(id_col).alias("id"),
+        F.explode(shingle_array(F.col(text_col), k)).alias("shingle"),
     )
 
 
@@ -72,20 +80,94 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
     return hashed.groupBy("id", "hidx").agg(F.min("h").alias("minh"))
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 4, rows_per_band: int = 4, max_bucket: int = 50
+def _wide_signature(
+    df: DataFrame, id_col: str, text_col: str, k: int, num_hashes: int
 ) -> DataFrame:
-    """Band the signature, bucket-join, emit candidate (a, b) pairs (a < b).
-
-    ``max_bucket`` caps pathological buckets (boilerplate floods) — a capped
-    bucket is skipped, bounding the pair blow-up at scale; capping is logged
-    by callers via the returned ``skipped`` marker when needed."""
-    banded = signatures.withColumn("band", (F.col("hidx") / rows_per_band).cast("int"))
-    keys = banded.groupBy("id", "band").agg(
-        md5s(F.concat_ws("|", F.sort_array(F.collect_list(F.concat(
-            F.col("hidx").cast("string"), F.lit(":"), F.col("minh")
-        ))))).alias("bkey")
+    """One wide row per doc: (id, m0..m{H-1}) via a SINGLE groupBy(id) with
+    ``num_hashes`` conditional mins. Versus groupBy(id, hidx): same partial
+    map-side combine, but the shuffle carries ONE wide row per doc instead
+    of ``num_hashes`` keyed rows, and everything downstream (hidx explode,
+    band keys) becomes a map-side projection — no second shuffle. Flat
+    min/when expressions stay inside whole-stage codegen (nested
+    higher-order-function variants are CodegenFallback and measured slower)."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingle_array(F.col(text_col), k)).alias("shingle"),
     )
+    # one (id, shingle) row carries all num_hashes hashes as COLUMNS — no
+    # hidx explode (16× fewer rows through the aggregate), no conditional
+    # buffer updates (each min feeds from its own column)
+    hashed = sh.select(
+        "id",
+        *[
+            md5s(F.concat(F.lit(f"{i}|"), F.col("shingle"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    return hashed.groupBy("id").agg(
+        *[F.min(F.col(f"h{i}")).alias(f"m{i}") for i in range(num_hashes)]
+    )
+
+
+def minhash_signature_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """(id, hidx, minh) minhash signature with ONE shuffle carrying one wide
+    row per doc (see ``_wide_signature``), versus ``word_shingles`` ∘
+    ``minhash_signatures`` whose groupBy(id, hidx) shuffles ``num_hashes``
+    keyed rows per doc. Same output, byte-identical minima."""
+    wide = _wide_signature(df, id_col, text_col, k, num_hashes)
+    return wide.select(
+        "id",
+        F.posexplode(
+            F.array(*[F.col(f"m{i}") for i in range(num_hashes)])
+        ).alias("hidx", "minh"),
+    )
+
+
+def lsh_band_keys(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """(id, band, bkey) band keys: banding-before-shuffle. The signature
+    shuffle carries one wide row per doc, band keys are a map-side
+    projection on top, and the bucket groupBy that follows carries ``bands``
+    rows/doc — versus the ``lsh_candidate_pairs`` signature path whose
+    groupBy(id, band) adds a second ``num_hashes``-rows/doc shuffle. Keys
+    are byte-identical (same sorted "hidx:minh" concatenation, same md5)."""
+    wide = _wide_signature(df, id_col, text_col, k, num_hashes)
+
+    def bkey(b: int) -> F.Column:
+        parts = F.array(
+            *[
+                F.concat(F.lit(f"{i}:"), F.col(f"m{i}"))
+                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ]
+        )
+        return md5s(F.concat_ws("|", F.sort_array(parts)))
+
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(b).cast("int").alias("band"), bkey(b).alias("bkey"))
+            for b in range(bands)
+        ]
+    )
+    return wide.select("id", F.explode(band_structs).alias("bb")).select(
+        "id", "bb.band", "bb.bkey"
+    )
+
+
+def _pairs_from_keys(keys: DataFrame, max_bucket: int) -> DataFrame:
+    """Sized-bucket pairing shared by both LSH paths."""
     sized = keys.groupBy("band", "bkey").agg(
         F.collect_list("id").alias("ids"), F.count("*").alias("n")
     ).filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
@@ -97,6 +179,34 @@ def lsh_candidate_pairs(
         .select("a", "b")
         .distinct()
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 4, max_bucket: int = 50
+) -> DataFrame:
+    """Band the signature, bucket-join, emit candidate (a, b) pairs (a < b).
+
+    ``max_bucket`` caps pathological buckets (boilerplate floods) — a capped
+    bucket is skipped, bounding the pair blow-up at scale; capping is logged
+    by callers via the returned ``skipped`` marker when needed.
+
+    Prefer ``lsh_band_keys`` + ``lsh_candidate_pairs_from_keys`` when you
+    have the documents frame: it computes keys map-side and skips this
+    path's groupBy(id, band) shuffle."""
+    banded = signatures.withColumn("band", (F.col("hidx") / rows_per_band).cast("int"))
+    keys = banded.groupBy("id", "band").agg(
+        md5s(F.concat_ws("|", F.sort_array(F.collect_list(F.concat(
+            F.col("hidx").cast("string"), F.lit(":"), F.col("minh")
+        ))))).alias("bkey")
+    )
+    return _pairs_from_keys(keys, max_bucket)
+
+
+def lsh_candidate_pairs_from_keys(
+    keys: DataFrame, max_bucket: int = 50
+) -> DataFrame:
+    """Candidate pairs from map-side band keys (see ``lsh_band_keys``)."""
+    return _pairs_from_keys(keys, max_bucket)
 
 
 def jaccard_pairs(

@@ -92,12 +92,16 @@ def lsh_buckets(
     planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    plane_offset: int = 0,
 ) -> DataFrame:
     """Random-hyperplane signature: bit_p = sign(v · w_p) where
     w_p[d] = md5_int(p ',' d)/10^6 - 0.5 (deterministic, engine-portable).
-    Returns (id, bucket) with bucket a planes-char '0'/'1' string."""
+    Returns (id, bucket) with bucket a planes-char '0'/'1' string.
+    ``plane_offset`` shifts the global plane indices — table t of a
+    multi-table (OR-amplified) scheme uses offset t·planes, giving each
+    table an independent deterministic plane set from the same formula."""
     dim_w = F.transform(
-        F.sequence(F.lit(0), F.lit(planes - 1)),
+        F.sequence(F.lit(plane_offset), F.lit(plane_offset + planes - 1)),
         lambda p: F.aggregate(
             F.zip_with(
                 F.col(vec_col),
@@ -120,19 +124,32 @@ def lsh_buckets(
     return embeddings.select(F.col(id_col).alias("id"), sig.alias("bucket"))
 
 
+def _seed_centroids(
+    embeddings: DataFrame, n_cells: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Init codebook: the ``n_cells`` lowest-id vectors — deterministic and
+    oracle-portable."""
+    return embeddings.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("c_vec")
+    )
+
+
 def ivf_cells(
     embeddings: DataFrame,
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF coarse quantizer: assign every vector to its nearest centroid
-    (max dot, ties to the lowest cell id). Centroids are the ``n_cells``
-    lowest-id vectors — deterministic and oracle-portable; a k-means-trained
-    codebook plugs in by swapping this frame (the assignment join is the
-    same). Centroids are O(n_cells·dim) ⇒ broadcast. Returns (id, cell)."""
-    cents = embeddings.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cell"), F.col(vec_col).alias("c_vec")
+    (max dot, ties to the lowest cell id). Default centroids are the
+    ``n_cells`` lowest-id vectors; pass ``centroids`` (e.g. from
+    ``ivf_train``) to use a trained codebook — the assignment join is the
+    same. Centroids are O(n_cells·dim) ⇒ broadcast. Returns (id, cell)."""
+    cents = (
+        centroids
+        if centroids is not None
+        else _seed_centroids(embeddings, n_cells, id_col, vec_col)
     )
     scored = embeddings.crossJoin(F.broadcast(cents)).select(
         F.col(id_col).alias("id"),
@@ -146,6 +163,53 @@ def ivf_cells(
     )
 
 
+def ivf_train(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10_000,
+) -> DataFrame:
+    """Seeded k-means codebook, expressed entirely as DataFrame aggregations
+    (no driver math): init = the ``n_cells`` lowest-id vectors; per
+    iteration every vector joins its max-dot centroid (broadcast) and
+    centroids re-form as per-dimension means via posexplode →
+    groupBy(cell, dim) avg → sorted re-collect. Means are stored as
+    FIXED-POINT integers (round(mean·scale)) so the codebook is
+    bit-reproducible across engines and partitionings: double sums differ
+    in last-ulp order effects, and float round(x, 4) itself differs across
+    engines, but round-to-integer absorbs both. The uniform ×scale factor
+    leaves both the per-vector argmax assignment and the per-query probe
+    ordering unchanged (every cell scales identically), and centroids never
+    enter final scores.
+
+    Plain k-means (no re-normalization); assignment by dot, which orders
+    like cosine for the unit-norm corpus. A cell that loses every member
+    simply drops out (standard k-means dead cell) — deterministic on both
+    engines. The per-iteration shuffle carries n·dim (cell, d, x) rows; at
+    10^12 scale you would train on a sample, which changes nothing here but
+    the input frame. Returns (cell, c_vec) with c_vec array<bigint>."""
+    cents = _seed_centroids(embeddings, n_cells, id_col, vec_col)
+    for _ in range(iters):
+        asg = ivf_cells(embeddings, n_cells, id_col, vec_col, centroids=cents)
+        exploded = (
+            embeddings.join(asg, embeddings[id_col] == asg["id"])
+            .select("cell", F.posexplode(F.col(vec_col)).alias("d", "x"))
+        )
+        means = exploded.groupBy("cell", "d").agg(
+            F.round(F.avg(F.col("x").cast("double")) * scale)
+            .cast("long")
+            .alias("m")
+        )
+        cents = means.groupBy("cell").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("d", "m"))), lambda s: s["m"]
+            ).alias("c_vec")
+        )
+    return cents
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -154,18 +218,23 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: each query probes its ``n_probe`` closest cells
     and re-ranks exactly within them (bounded two-phase top-k). At 10^12
     scale the probed cells replace the O(n·q) scan with O(n·n_probe/n_cells)
     — the classic inverted-file trade; rank may be < k when probed cells are
-    thin (that is the approximation). Same output shape as cosine_topk."""
-    cells = ivf_cells(embeddings, n_cells, id_col, vec_col)
+    thin (that is the approximation). Pass ``centroids`` (from ``ivf_train``)
+    for a trained codebook; default is the first-``n_cells`` seed. Same
+    output shape as cosine_topk."""
+    cents = (
+        centroids
+        if centroids is not None
+        else _seed_centroids(embeddings, n_cells, id_col, vec_col)
+    )
+    cells = ivf_cells(embeddings, n_cells, id_col, vec_col, centroids=cents)
     e = embeddings.join(cells, embeddings[id_col] == cells["id"]).select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"), "cell"
-    )
-    cents = embeddings.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cell"), F.col(vec_col).alias("c_vec")
     )
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
     qc = q.crossJoin(F.broadcast(cents)).select(
@@ -198,31 +267,51 @@ def embedding_near_duplicates(
     max_bucket: int = 1000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    tables: int = 1,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: candidates collide on the
+    """Embedding-cosine near-duplicate pairs: candidates collide on a
     random-hyperplane LSH bucket (never all-pairs), then exact cosine ≥
     threshold verifies. Returns (a, b, score_e4) with a < b.
+
+    ``tables`` OR-amplifies recall: a single planes-bit table misses a
+    near-dup pair whenever ANY plane separates it (at cosine 0.96 one 8-plane
+    table catches only ~(1-θ/π)^8 ≈ 47% of pairs); with T independent tables
+    (table t = plane indices [t·planes, (t+1)·planes)) a pair is a candidate
+    if it collides in ANY table — recall 1-(1-p)^T, cost T bucket joins plus
+    a pair-dedup shuffle. Every table keeps its own ``max_bucket`` cap, so
+    the O(n²) degenerate-bucket bound holds per table.
 
     ``max_bucket`` bounds the within-bucket pair blow-up exactly like
     dedup.lsh_candidate_pairs — at 10^12 scale a degenerate bucket (zero
     vectors, boilerplate embeddings) would otherwise emit O(n²) pairs."""
-    b = lsh_buckets(embeddings, planes, id_col, vec_col)
-    e = embeddings.join(b, embeddings[id_col] == b["id"]).select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"), "bucket"
+    e_ids = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
     )
-    sized = e.groupBy("bucket").agg(F.count("*").alias("n")).filter(
-        (F.col("n") > 1) & (F.col("n") <= max_bucket)
-    ).select("bucket")
-    eb = e.join(sized, "bucket")
-    pairs = (
-        eb.select("bucket", F.col("vid").alias("a"), F.col("vec").alias("a_vec"))
-        .join(
-            eb.select(
-                "bucket", F.col("vid").alias("b"), F.col("vec").alias("b_vec")
-            ),
-            "bucket",
+    cand: DataFrame | None = None
+    for t in range(tables):
+        b = lsh_buckets(embeddings, planes, id_col, vec_col, plane_offset=t * planes)
+        sized = b.groupBy("bucket").agg(F.count("*").alias("n")).filter(
+            (F.col("n") > 1) & (F.col("n") <= max_bucket)
+        ).select("bucket")
+        bb = b.join(sized, "bucket")
+        pairs_t = (
+            bb.select("bucket", F.col("id").alias("a"))
+            .join(bb.select("bucket", F.col("id").alias("b")), "bucket")
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
         )
-        .filter(F.col("a") < F.col("b"))
+        cand = pairs_t if cand is None else cand.unionByName(pairs_t)
+    if tables > 1:
+        # a pair can collide in several tables — dedup BEFORE scoring so each
+        # candidate pays the exact-cosine verify exactly once
+        cand = cand.dropDuplicates(["a", "b"])
+    scored = (
+        cand.join(
+            e_ids.select(F.col("vid").alias("a"), F.col("vec").alias("a_vec")), "a"
+        )
+        .join(
+            e_ids.select(F.col("vid").alias("b"), F.col("vec").alias("b_vec")), "b"
+        )
         .select(
             "a", "b",
             F.round(_dot(F.col("a_vec"), F.col("b_vec")) * 1e4)
@@ -230,8 +319,7 @@ def embedding_near_duplicates(
             .alias("score_e4"),
         )
     )
-    # each vector lives in exactly one bucket ⇒ pairs are already unique
-    return pairs.filter(F.col("score_e4") >= threshold_e4)
+    return scored.filter(F.col("score_e4") >= threshold_e4)
 
 
 def ann_topk_lsh(

@@ -197,3 +197,50 @@ def test_ivf_topk_recall_against_bruteforce(spark):
         by_q.setdefault(r["q_id"], []).append(r["score_e4"])
     for scores in by_q.values():
         assert scores == sorted(scores, reverse=True)
+
+
+def test_near_dup_multi_table_recall(spark, sf_dir):
+    """OR-amplified LSH (tables=4) recovers seeded cosine≈0.96 near-dup
+    pairs that a single 8-plane table misses (single-table catch rate at
+    0.96 is ~(1-θ/π)^8 ≈ 47%); multi-table candidates are a strict superset
+    on this corpus. Deterministic: fixed corpus + md5-derived planes."""
+    import __spark_entry__ as entry
+
+    corpus = entry._neardup_corpus(spark, sf_dir)
+    seeded = {(i, i + 2_000_000) for i in range(25, 500, 50)}
+
+    def hits(tables):
+        got = similarity.embedding_near_duplicates(
+            corpus, threshold_e4=9400, planes=8, tables=tables
+        ).collect()
+        return seeded & {(r["a"], r["b"]) for r in got}
+
+    single, multi = hits(1), hits(4)
+    assert single <= multi
+    assert len(multi) > len(single), (sorted(single), sorted(multi))
+    assert len(multi) >= 7  # ~92% expected recall over 10 seeded pairs
+
+
+def test_ivf_trained_codebook(spark, sf_dir):
+    """ivf_train: k-means as DataFrame aggregations → fixed-point integer
+    centroids; probing all cells with the trained codebook is exhaustive
+    (== brute force), and 4-probe recall@5 stays useful."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 10)
+    cb = similarity.ivf_train(e, n_cells=16, iters=2)
+    rows = cb.collect()
+    assert 0 < len(rows) <= 16
+    assert all(isinstance(x, int) for x in rows[0]["c_vec"])
+
+    exact = {(r["q_id"], r["cand_id"])
+             for r in similarity.cosine_topk(e, q, k=5).collect()}
+    full = {(r["q_id"], r["cand_id"])
+            for r in similarity.ivf_topk(
+                e, q, k=5, n_cells=16, n_probe=16, centroids=cb).collect()}
+    assert full == exact  # all-probe IVF is exhaustive
+
+    probed = {(r["q_id"], r["cand_id"])
+              for r in similarity.ivf_topk(
+                  e, q, k=5, n_cells=16, n_probe=4, centroids=cb).collect()}
+    recall = len(exact & probed) / len(exact)
+    assert recall >= 0.5, recall
