@@ -669,6 +669,22 @@ def q_kg_from_uris(spark, sf_dir):
     return plans_query.from_uris(e, ["<urn:hk:nation/0>"], level=2).select("id")
 
 
+def q_kg_sparql_select(spark, sf_dir):
+    """Q10/Q12 surface: a user SPARQL SELECT (BGP join + numeric and term
+    FILTERs) parsed and compiled onto the quads frame by plans/sparql.py."""
+    from rdf2hk_spark.plans.sparql import run_sparql
+
+    text = """
+      SELECT ?n ?l ?r WHERE {
+        ?n <urn:hk:p/inRegion> ?r .
+        ?n <http://www.w3.org/2000/01/rdf-schema#label> ?l .
+        ?n <urn:hk:p/key> ?k .
+        FILTER(?k >= 10 && ?r != <urn:hk:region/1>)
+      }
+    """
+    return run_sparql(tpch_kg.quads_df(spark, sf_dir), text)
+
+
 def q_doc_token_stats(spark, sf_dir):
     return textstats.token_stats(_docs(spark, sf_dir))
 
@@ -720,6 +736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_trained": q_ann_ivf_trained,
         "embed_neardup": q_embed_neardup,
         "kg_from_uris": q_kg_from_uris,
+        "kg_sparql_select": q_kg_sparql_select,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
         "doc_langid": q_doc_langid,
@@ -1021,6 +1038,17 @@ def oracle_sql() -> dict[str, str]:
                        || '"^^<http://www.w3.org/2001/XMLSchema#integer>',
                    '<urn:hk:g/sowl>'
             FROM part WHERE p_partkey % 50 = 0
+        """,
+        "kg_sparql_select": f"""
+            WITH {_Q}
+            SELECT a.s AS n, b.o AS l, a.o AS r
+            FROM quads a
+            JOIN quads b ON b.s = a.s
+             AND b.p = '<http://www.w3.org/2000/01/rdf-schema#label>'
+            JOIN quads c ON c.s = a.s AND c.p = '<urn:hk:p/key>'
+            WHERE a.p = '<urn:hk:p/inRegion>'
+              AND a.o <> '<urn:hk:region/1>'
+              AND CAST(regexp_extract(c.o, '^"([0-9]+)"', 1) AS DOUBLE) >= 10
         """,
         "kg_titles": f"""
             WITH {_Q}, {_NODES_CTE}

@@ -1,0 +1,560 @@
+"""SPARQL-text query surface (Q10/Q12/P12 + Q13 note, SURVEY §2.6) compiled
+onto the quads DataFrame.
+
+The reference assembles SPARQL strings and ships them to a remote endpoint
+(sparqlbuilder.js, sparqlfactory.js) and rewrites USER-supplied SPARQL to
+hide HK-internal triples (sparqlhelper.js:43-293 ``setHKFiltered``). Here
+the quads DataFrame IS the endpoint, so a user's SPARQL text parses to an
+algebra and compiles to a DataFrame plan:
+
+- triple patterns → pushed-down scans of the quads frame; shared variables
+  become joins (Catalyst reorders / broadcast-selects them);
+- FILTER expressions → Column predicates. The textual OR→IN clustering the
+  reference performs (``optimizeFilter``, sparqlhelper.js:374-793 — Q13) is
+  subsumed by Catalyst's OR-to-InSet conversion, so it has no counterpart
+  here by design;
+- VALUES → ``isin`` on a bound variable (or a literal frame for a new one);
+- FROM <g> → graph equality filter — partition pruning on graph-partitioned
+  storage (Q11, sparqlhelper.js:296-327);
+- ``hide_hk=True`` applies the FILTER_HK predicate-hiding (P14) to every
+  pattern scan — the ``setHKFiltered`` semantic (Q12) achieved in the plan
+  instead of by string rewriting;
+- literal tokens undo the reference's SPARQL string escapes (P12,
+  sparqlhelper.js literal assembly) during tokenization;
+- OPTIONAL → left outer join; UNION → unionByName(allowMissingColumns);
+  SELECT [DISTINCT] / ORDER BY / LIMIT.
+
+Subset contract: SELECT queries over the forms above. Anything else
+(CONSTRUCT/ASK/DESCRIBE text, property paths, subqueries, aggregates) raises
+``SparqlSyntaxError`` — never a silently wrong answer. DESCRIBE-style
+fetches exist as ``plans.query.from_uris``; programmatic assembly (Q10) is
+the DataFrame/filter-dict API plus this text entry.
+
+Term semantics: variables bind the engine's term strings (``<iri>``,
+``_:b``, ``"lit"@lang``, ``"5"^^<dt>``). Comparisons between a variable and
+a bare number compare the DECODED numeric value of typed literals
+(try_cast — non-numeric terms compare null ⇒ false); everything else
+compares term strings exactly.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from rdf2hk_spark.functions import terms as T
+from rdf2hk_spark.plans.query import filter_hk
+
+
+class SparqlSyntaxError(ValueError):
+    pass
+
+
+# --------------------------------------------------------------------------
+# tokenizer
+# --------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<iri><[^<>\s]*>)
+      | (?P<var>\?\w+)
+      | (?P<literal>"(?:[^"\\]|\\.)*"(?:@[A-Za-z0-9-]+|\^\^<[^<>\s]*>)?)
+      | (?P<bnode>_:\w+)
+      | (?P<num>[+-]?\d+(?:\.\d+)?)
+      | (?P<punct>[{}().,;*]|&&|\|\||!=|<=|>=|=|<|>|!)
+      | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
+    )""",
+    re.X,
+)
+
+_ESCAPES = {
+    "n": "\n", "r": "\r", "t": "\t", "b": "\b", "f": "\f",
+    '"': '"', "'": "'", "\\": "\\",
+}
+
+
+def _unescape_sparql(body: str) -> str:
+    """P12 inverse: undo SPARQL literal escapes (sparqlhelper.js emits
+    \\n/\\r/\\t/\\"/\\\\ when assembling literals)."""
+    out, i = [], 0
+    while i < len(body):
+        c = body[i]
+        if c == "\\" and i + 1 < len(body):
+            out.append(_ESCAPES.get(body[i + 1], body[i + 1]))
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _tokenize(text: str) -> list[tuple[str, str]]:
+    toks: list[tuple[str, str]] = []
+    pos = 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if m is None or m.end() == pos:
+            rest = text[pos:].strip()
+            if not rest:
+                break
+            raise SparqlSyntaxError(f"cannot tokenize at: {rest[:40]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        val = m.group(kind)
+        if kind == "literal":
+            mm = re.match(r'(?s)^"(.*)"((?:@[A-Za-z0-9-]+|\^\^<[^<>\s]*>)?)$', val)
+            val = f'"{_unescape_sparql(mm.group(1))}"{mm.group(2)}'
+        toks.append((kind, val))
+    return toks
+
+
+# --------------------------------------------------------------------------
+# algebra
+# --------------------------------------------------------------------------
+
+RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+
+
+@dataclass
+class Pattern:
+    s: str
+    p: str
+    o: str
+
+
+@dataclass
+class Filter:
+    expr: "Expr"
+
+
+@dataclass
+class Values:
+    var: str
+    terms: list[str]
+
+
+@dataclass
+class Optional_:
+    group: "Group"
+
+
+@dataclass
+class Union:
+    left: "Group"
+    right: "Group"
+
+
+@dataclass
+class Group:
+    items: list = field(default_factory=list)
+
+
+@dataclass
+class Expr:
+    """FILTER expression node: op ∈ {and, or, not, cmp, in, regex, bound};
+    leaves carry (kind, value) operands where kind ∈ {var, term, num}."""
+
+    op: str
+    args: list
+
+
+@dataclass
+class Query:
+    variables: list[str]  # empty = SELECT *
+    distinct: bool
+    from_graphs: list[str]
+    where: Group
+    order_by: list[tuple[str, bool]]  # (var, ascending)
+    limit: int | None
+
+
+class _Parser:
+    def __init__(self, toks: list[tuple[str, str]]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self) -> tuple[str, str]:
+        return self.toks[self.i] if self.i < len(self.toks) else ("eof", "")
+
+    def next(self) -> tuple[str, str]:
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def expect(self, kind: str, val: str | None = None) -> str:
+        k, v = self.next()
+        if k != kind or (val is not None and v.upper() != val.upper() and v != val):
+            raise SparqlSyntaxError(f"expected {val or kind}, got {v!r}")
+        return v
+
+    def kw(self, word: str) -> bool:
+        k, v = self.peek()
+        if k == "word" and v.upper() == word:
+            self.i += 1
+            return True
+        return False
+
+    # ---- query ----
+    def query(self) -> Query:
+        if not self.kw("SELECT"):
+            k, v = self.peek()
+            raise SparqlSyntaxError(
+                f"only SELECT queries are supported (got {v!r})"
+            )
+        distinct = self.kw("DISTINCT")
+        variables: list[str] = []
+        if self.peek() == ("punct", "*"):
+            self.next()
+        else:
+            while self.peek()[0] == "var":
+                variables.append(self.next()[1][1:])
+            if not variables:
+                raise SparqlSyntaxError("SELECT needs variables or *")
+        from_graphs: list[str] = []
+        while self.kw("FROM"):
+            from_graphs.append(self.expect("iri"))
+        self.expect("word", "WHERE")
+        where = self.group()
+        order: list[tuple[str, bool]] = []
+        if self.kw("ORDER"):
+            self.expect("word", "BY")
+            while True:
+                k, v = self.peek()
+                if k == "var":
+                    order.append((self.next()[1][1:], True))
+                elif k == "word" and v.upper() in ("ASC", "DESC"):
+                    asc = self.next()[1].upper() == "ASC"
+                    self.expect("punct", "(")
+                    order.append((self.expect("var")[1:], asc))
+                    self.expect("punct", ")")
+                else:
+                    break
+        limit = None
+        if self.kw("LIMIT"):
+            limit = int(self.expect("num"))
+        if self.peek()[0] != "eof":
+            raise SparqlSyntaxError(f"trailing tokens at {self.peek()[1]!r}")
+        return Query(variables, distinct, from_graphs, where, order, limit)
+
+    # ---- group ----
+    def group(self) -> Group:
+        self.expect("punct", "{")
+        g = Group()
+        while True:
+            k, v = self.peek()
+            if (k, v) == ("punct", "}"):
+                self.next()
+                return g
+            if k == "eof":
+                raise SparqlSyntaxError("unterminated group")
+            if k == "word" and v.upper() == "FILTER":
+                self.next()
+                self.expect("punct", "(")
+                g.items.append(Filter(self.expr()))
+                self.expect("punct", ")")
+            elif k == "word" and v.upper() == "VALUES":
+                self.next()
+                var = self.expect("var")[1:]
+                self.expect("punct", "{")
+                terms = []
+                while self.peek() != ("punct", "}"):
+                    terms.append(self._term_token())
+                self.next()
+                g.items.append(Values(var, terms))
+            elif k == "word" and v.upper() == "OPTIONAL":
+                self.next()
+                g.items.append(Optional_(self.group()))
+            elif (k, v) == ("punct", "{"):
+                left = self.group()
+                if self.kw("UNION"):
+                    right = self.group()
+                    u = Union(left, right)
+                    while self.kw("UNION"):
+                        u = Union(Group([u]), self.group())
+                    g.items.append(u)
+                else:
+                    g.items.append(left)
+            else:
+                g.items.append(self.pattern())
+            if self.peek() == ("punct", "."):
+                self.next()
+        raise AssertionError
+
+    def _term_token(self) -> str:
+        k, v = self.next()
+        if k in ("iri", "literal", "bnode"):
+            return v
+        if k == "num":
+            dt = (
+                "<http://www.w3.org/2001/XMLSchema#integer>"
+                if "." not in v
+                else "<http://www.w3.org/2001/XMLSchema#decimal>"
+            )
+            return f'"{v}"^^{dt}'
+        if k == "word" and v == "a":
+            return RDF_TYPE
+        raise SparqlSyntaxError(f"expected an RDF term, got {v!r}")
+
+    def pattern(self) -> Pattern:
+        def part() -> str:
+            k, v = self.peek()
+            if k == "var":
+                self.next()
+                return v
+            return self._term_token()
+
+        return Pattern(part(), part(), part())
+
+    # ---- FILTER expressions (precedence: || < && < ! < cmp) ----
+    def expr(self) -> Expr:
+        e = self.expr_and()
+        while self.peek() == ("punct", "||"):
+            self.next()
+            e = Expr("or", [e, self.expr_and()])
+        return e
+
+    def expr_and(self) -> Expr:
+        e = self.expr_not()
+        while self.peek() == ("punct", "&&"):
+            self.next()
+            e = Expr("and", [e, self.expr_not()])
+        return e
+
+    def expr_not(self) -> Expr:
+        if self.peek() == ("punct", "!"):
+            self.next()
+            return Expr("not", [self.expr_not()])
+        return self.expr_cmp()
+
+    def _operand(self):
+        k, v = self.peek()
+        if k == "var":
+            self.next()
+            return ("var", v[1:])
+        if k == "num":
+            self.next()
+            return ("num", float(v))
+        return ("term", self._term_token())
+
+    def expr_cmp(self) -> Expr:
+        k, v = self.peek()
+        if (k, v) == ("punct", "("):
+            self.next()
+            e = self.expr()
+            self.expect("punct", ")")
+            return e
+        if k == "word" and v.upper() == "REGEX":
+            self.next()
+            self.expect("punct", "(")
+            target = self._operand()
+            self.expect("punct", ",")
+            kk, pat = self.next()
+            if kk != "literal":
+                raise SparqlSyntaxError("REGEX pattern must be a string")
+            self.expect("punct", ")")
+            return Expr("regex", [target, re.match(r'(?s)^"(.*)"', pat).group(1)])
+        if k == "word" and v.upper() == "BOUND":
+            self.next()
+            self.expect("punct", "(")
+            var = self.expect("var")[1:]
+            self.expect("punct", ")")
+            return Expr("bound", [var])
+        left = self._operand()
+        k, op = self.peek()
+        if k == "word" and op.upper() == "IN":
+            self.next()
+            self.expect("punct", "(")
+            terms = []
+            while True:
+                terms.append(self._operand())
+                if self.peek() == ("punct", ","):
+                    self.next()
+                    continue
+                break
+            self.expect("punct", ")")
+            return Expr("in", [left, terms])
+        if k == "word" and op.upper() == "NOT":
+            self.next()
+            self.expect("word", "IN")
+            self.expect("punct", "(")
+            terms = []
+            while True:
+                terms.append(self._operand())
+                if self.peek() == ("punct", ","):
+                    self.next()
+                    continue
+                break
+            self.expect("punct", ")")
+            return Expr("not", [Expr("in", [left, terms])])
+        if k == "punct" and op in ("=", "!=", "<", "<=", ">", ">="):
+            self.next()
+            right = self._operand()
+            return Expr("cmp", [op, left, right])
+        raise SparqlSyntaxError(f"cannot parse FILTER at {op!r}")
+
+
+def parse_sparql(text: str) -> Query:
+    return _Parser(_tokenize(text)).query()
+
+
+# --------------------------------------------------------------------------
+# compiler
+# --------------------------------------------------------------------------
+
+
+def _numeric(col: Column) -> Column:
+    # Column.try_cast (no F.try_cast in this PySpark): null on non-numeric
+    # instead of an ANSI cast error
+    return T.literal_value(col).try_cast("double")
+
+
+def _operand_col(operand, frame_cols: set[str]):
+    kind, v = operand
+    if kind == "var":
+        if v not in frame_cols:
+            raise SparqlSyntaxError(f"unbound variable ?{v} in FILTER")
+        return F.col(v), False
+    if kind == "num":
+        return F.lit(v), True
+    return F.lit(v), False
+
+
+def _compile_expr(e: Expr, frame_cols: set[str]) -> Column:
+    if e.op == "and":
+        return _compile_expr(e.args[0], frame_cols) & _compile_expr(e.args[1], frame_cols)
+    if e.op == "or":
+        return _compile_expr(e.args[0], frame_cols) | _compile_expr(e.args[1], frame_cols)
+    if e.op == "not":
+        return ~_compile_expr(e.args[0], frame_cols)
+    if e.op == "bound":
+        var = e.args[0]
+        return F.col(var).isNotNull() if var in frame_cols else F.lit(False)
+    if e.op == "regex":
+        col, _ = _operand_col(e.args[0], frame_cols)
+        return F.coalesce(T.literal_value(col), col).rlike(e.args[1])
+    if e.op == "in":
+        col, _ = _operand_col(e.args[0], frame_cols)
+        vals = [v for _, v in e.args[1]]
+        return col.isin(vals)
+    if e.op == "cmp":
+        op, lhs, rhs = e.args
+        lcol, lnum = _operand_col(lhs, frame_cols)
+        rcol, rnum = _operand_col(rhs, frame_cols)
+        if lnum or rnum:
+            # numeric comparison: decode typed-literal values
+            if not lnum:
+                lcol = _numeric(lcol)
+            if not rnum:
+                rcol = _numeric(rcol)
+        ops = {
+            "=": lambda a, b: a == b,
+            "!=": lambda a, b: a != b,
+            "<": lambda a, b: a < b,
+            "<=": lambda a, b: a <= b,
+            ">": lambda a, b: a > b,
+            ">=": lambda a, b: a >= b,
+        }
+        return ops[op](lcol, rcol)
+    raise SparqlSyntaxError(f"unknown expression {e.op}")
+
+
+def _scan(quads: DataFrame, pat: Pattern) -> DataFrame:
+    cols = {}
+    filters: list[Column] = []
+    for pos, term in (("s", pat.s), ("p", pat.p), ("o", pat.o)):
+        if term.startswith("?"):
+            var = term[1:]
+            if var in cols:  # repeated var within one pattern
+                filters.append(F.col(pos) == F.col(cols[var]))
+            else:
+                cols[var] = pos
+        else:
+            filters.append(F.col(pos) == term)
+    out = quads
+    for f in filters:
+        out = out.filter(f)
+    return out.select(*[F.col(pos).alias(var) for var, pos in cols.items()])
+
+
+def _join(left: DataFrame | None, right: DataFrame, how: str = "inner") -> DataFrame:
+    if left is None:
+        return right
+    shared = [c for c in left.columns if c in right.columns]
+    if shared:
+        return left.join(right, shared, how)
+    if how == "left":
+        return left  # OPTIONAL with no shared vars constrains nothing
+    return left.crossJoin(right)
+
+
+def _compile_group(quads: DataFrame, spark, group: Group) -> DataFrame | None:
+    frame: DataFrame | None = None
+    deferred: list[Filter] = []
+    for item in group.items:
+        if isinstance(item, Pattern):
+            frame = _join(frame, _scan(quads, item))
+        elif isinstance(item, Group):
+            sub = _compile_group(quads, spark, item)
+            if sub is not None:
+                frame = _join(frame, sub)
+        elif isinstance(item, Union):
+            l = _compile_group(quads, spark, item.left)
+            r = _compile_group(quads, spark, item.right)
+            if l is None or r is None:
+                raise SparqlSyntaxError("empty UNION branch")
+            u = l.unionByName(r, allowMissingColumns=True)
+            frame = _join(frame, u)
+        elif isinstance(item, Optional_):
+            sub = _compile_group(quads, spark, item.group)
+            if sub is not None:
+                frame = _join(frame, sub, how="left")
+        elif isinstance(item, Values):
+            if frame is not None and item.var in frame.columns:
+                frame = frame.filter(F.col(item.var).isin(item.terms))
+            else:
+                vf = spark.createDataFrame(
+                    [(t,) for t in item.terms], f"{item.var} string"
+                )
+                frame = _join(frame, vf)
+        elif isinstance(item, Filter):
+            deferred.append(item)
+        else:  # pragma: no cover
+            raise AssertionError(item)
+    # SPARQL FILTER scope is the whole group — apply after all patterns bind
+    for flt in deferred:
+        if frame is None:
+            raise SparqlSyntaxError("FILTER in an empty group")
+        frame = frame.filter(_compile_expr(flt.expr, set(frame.columns)))
+    return frame
+
+
+def run_sparql(quads: DataFrame, text: str, hide_hk: bool = False) -> DataFrame:
+    """Parse and execute a SPARQL SELECT over the quads frame. One column
+    per projected variable, values in the engine's term-string encoding.
+    ``hide_hk`` = the reference's ``setHKFiltered`` (Q12): every pattern
+    scan excludes HK-vocabulary statements (P14)."""
+    q = parse_sparql(text)
+    base = quads
+    if q.from_graphs:
+        base = base.filter(F.col("g").isin(q.from_graphs))
+    if hide_hk:
+        base = filter_hk(base)
+    frame = _compile_group(base, quads.sparkSession, q.where)
+    if frame is None:
+        raise SparqlSyntaxError("empty WHERE group")
+    variables = q.variables or sorted(frame.columns)
+    missing = [v for v in variables if v not in frame.columns]
+    if missing:
+        raise SparqlSyntaxError(f"projected variables not bound: {missing}")
+    out = frame.select(*variables)
+    if q.distinct:
+        out = out.distinct()
+    if q.order_by:
+        out = out.orderBy(
+            *[F.col(v).asc() if asc else F.col(v).desc() for v, asc in q.order_by]
+        )
+    if q.limit is not None:
+        out = out.limit(q.limit)
+    return out

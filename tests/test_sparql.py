@@ -1,0 +1,206 @@
+"""SPARQL-text surface (plans/sparql.py): parse + compile onto the quads
+frame; the setHKFiltered (Q12) hiding semantic; P12 literal unescape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdf2hk_spark import constants as C
+from rdf2hk_spark.plans.sparql import (
+    SparqlSyntaxError, parse_sparql, run_sparql,
+)
+
+QUAD_SCHEMA = "stmt_idx long, s string, p string, o string, g string"
+
+G1, G2 = "<http://g/1>", "<http://g/2>"
+ROWS = [
+    (0, "<http://e/a>", "<http://p/knows>", "<http://e/b>", G1),
+    (1, "<http://e/b>", "<http://p/knows>", "<http://e/c>", G1),
+    (2, "<http://e/a>", "<http://p/name>", '"Alice"@en', G1),
+    (3, "<http://e/b>", "<http://p/name>", '"Bob"@en', G1),
+    (4, "<http://e/a>", "<http://p/age>",
+     '"42"^^<http://www.w3.org/2001/XMLSchema#integer>', G1),
+    (5, "<http://e/b>", "<http://p/age>",
+     '"17"^^<http://www.w3.org/2001/XMLSchema#integer>', G1),
+    (6, "<http://e/x>", "<http://p/knows>", "<http://e/y>", G2),
+    # HK-internal statement that hide_hk must exclude
+    (7, "<http://e/a>", C.ISA_URI, "<http://e/Type>", G1),
+]
+
+
+@pytest.fixture(scope="module")
+def quads(spark):
+    return spark.createDataFrame(ROWS, QUAD_SCHEMA).cache()
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+class TestBgp:
+    def test_single_pattern(self, quads):
+        out = run_sparql(
+            quads, "SELECT ?x ?y WHERE { ?x <http://p/knows> ?y }"
+        )
+        assert rows(out) == [
+            ("<http://e/a>", "<http://e/b>"),
+            ("<http://e/b>", "<http://e/c>"),
+            ("<http://e/x>", "<http://e/y>"),
+        ]
+
+    def test_join_on_shared_var(self, quads):
+        out = run_sparql(
+            quads,
+            "SELECT ?x ?z WHERE { ?x <http://p/knows> ?y ."
+            " ?y <http://p/knows> ?z }",
+        )
+        assert rows(out) == [("<http://e/a>", "<http://e/c>")]
+
+    def test_literal_constant_and_select_star(self, quads):
+        out = run_sparql(
+            quads, 'SELECT * WHERE { ?x <http://p/name> "Alice"@en }'
+        )
+        assert out.columns == ["x"]
+        assert rows(out) == [("<http://e/a>",)]
+
+    def test_from_graph_scoping(self, quads):
+        out = run_sparql(
+            quads,
+            "SELECT ?x FROM <http://g/2> WHERE { ?x <http://p/knows> ?y }",
+        )
+        assert rows(out) == [("<http://e/x>",)]
+
+
+class TestFilters:
+    def test_numeric_comparison(self, quads):
+        out = run_sparql(
+            quads,
+            "SELECT ?x WHERE { ?x <http://p/age> ?a . FILTER(?a >= 18) }",
+        )
+        assert rows(out) == [("<http://e/a>",)]
+
+    def test_regex_and_boolean_ops(self, quads):
+        out = run_sparql(
+            quads,
+            "SELECT ?x WHERE { ?x <http://p/name> ?n ."
+            ' FILTER(REGEX(?n, "^A") || REGEX(?n, "ob$")) }',
+        )
+        assert rows(out) == [("<http://e/a>",), ("<http://e/b>",)]
+
+    def test_in_and_not(self, quads):
+        out = run_sparql(
+            quads,
+            "SELECT ?x WHERE { ?x <http://p/knows> ?y ."
+            " FILTER(!(?y IN (<http://e/c>, <http://e/y>))) }",
+        )
+        assert rows(out) == [("<http://e/a>",)]
+
+    def test_term_inequality(self, quads):
+        out = run_sparql(
+            quads,
+            "SELECT ?x ?y WHERE { ?x <http://p/knows> ?y ."
+            " FILTER(?x != <http://e/a>) }",
+        )
+        assert rows(out) == [
+            ("<http://e/b>", "<http://e/c>"),
+            ("<http://e/x>", "<http://e/y>"),
+        ]
+
+
+class TestForms:
+    def test_values(self, quads):
+        out = run_sparql(
+            quads,
+            "SELECT ?x ?y WHERE { VALUES ?x { <http://e/a> <http://e/x> }"
+            " . ?x <http://p/knows> ?y }",
+        )
+        assert rows(out) == [
+            ("<http://e/a>", "<http://e/b>"),
+            ("<http://e/x>", "<http://e/y>"),
+        ]
+
+    def test_optional_left_join(self, quads):
+        out = run_sparql(
+            quads,
+            "SELECT ?x ?n WHERE { ?x <http://p/knows> ?y ."
+            " OPTIONAL { ?x <http://p/name> ?n } }",
+        )
+        assert rows(out) == [
+            ("<http://e/a>", '"Alice"@en'),
+            ("<http://e/b>", '"Bob"@en'),
+            ("<http://e/x>", None),
+        ]
+
+    def test_union(self, quads):
+        out = run_sparql(
+            quads,
+            "SELECT ?v WHERE { { <http://e/a> <http://p/name> ?v } UNION"
+            " { <http://e/b> <http://p/name> ?v } }",
+        )
+        assert rows(out) == [('"Alice"@en',), ('"Bob"@en',)]
+
+    def test_distinct_order_limit(self, quads):
+        out = run_sparql(
+            quads,
+            "SELECT DISTINCT ?x WHERE { ?x ?p ?o } ORDER BY DESC(?x) LIMIT 2",
+        )
+        assert [r["x"] for r in out.collect()] == [
+            "<http://e/x>", "<http://e/b>"
+        ]
+
+    def test_a_shorthand(self, quads, spark):
+        q2 = spark.createDataFrame(
+            [(0, "<http://e/a>",
+              "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>",
+              "<http://T>", G1)], QUAD_SCHEMA,
+        )
+        out = run_sparql(q2, "SELECT ?x WHERE { ?x a <http://T> }")
+        assert rows(out) == [("<http://e/a>",)]
+
+
+class TestHkHiding:
+    def test_hide_hk_is_set_hk_filtered(self, quads):
+        """Q12 setHKFiltered (sparqlhelper.js:43-293): with hide_hk the isa
+        statement is invisible to user SPARQL."""
+        visible = run_sparql(quads, "SELECT ?p WHERE { <http://e/a> ?p ?o }")
+        hidden = run_sparql(
+            quads, "SELECT ?p WHERE { <http://e/a> ?p ?o }", hide_hk=True
+        )
+        assert (C.ISA_URI,) in set(map(tuple, visible.collect()))
+        got = {r["p"] for r in hidden.collect()}
+        assert C.ISA_URI not in got
+        assert "<http://p/knows>" in got
+
+
+class TestSyntax:
+    def test_literal_unescape_p12(self, quads, spark):
+        q2 = spark.createDataFrame(
+            [(0, "<http://e/a>", "<http://p/name>", '"say "hi"\nok"', G1)],
+            QUAD_SCHEMA,
+        )
+        out = run_sparql(
+            q2,
+            'SELECT ?x WHERE { ?x <http://p/name> "say \\"hi\\"\\nok" }',
+        )
+        assert rows(out) == [("<http://e/a>",)]
+
+    @pytest.mark.parametrize(
+        "bad",
+        [
+            "ASK { ?s ?p ?o }",
+            "SELECT ?x WHERE { ?x <http://p> ?y } GARBAGE",
+            "SELECT ?x WHERE { ?x <http://p> }",
+            "SELECT ?z WHERE { ?x <http://p> ?y }",
+        ],
+    )
+    def test_unsupported_raises(self, quads, bad):
+        with pytest.raises(SparqlSyntaxError):
+            run_sparql(quads, bad).collect()
+
+    def test_repeated_var_in_pattern(self, quads, spark):
+        q2 = spark.createDataFrame(
+            [(0, "<http://e/a>", "<http://p/self>", "<http://e/a>", G1),
+             (1, "<http://e/a>", "<http://p/self>", "<http://e/b>", G1)],
+            QUAD_SCHEMA,
+        )
+        out = run_sparql(q2, "SELECT ?x WHERE { ?x <http://p/self> ?x }")
+        assert rows(out) == [("<http://e/a>",)]
