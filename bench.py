@@ -74,12 +74,16 @@ def main() -> None:
         cat = corpus.catalog(spark)
         rels = relations.extract_relations(ext, cat)
         ments = relations.detect_mentions(ext, cat)
-        quads = relations.relation_quads(rels, ments)
+        # extractor provably emits distinct quads -> skip the dedup shuffle;
+        # coalesce (narrow) to one task wave per core: without the dedup
+        # exchange the 15 downstream aggregations would each launch the full
+        # 128-partition pipeline (measured: task-wave overhead ate the win)
+        quads = relations.relation_quads(rels, ments, distinct=False).coalesce(cpus)
         ents = parse_quads(
             quads,
             ParseOptions(
                 create_context=True, set_node_context=True,
-                assume_distinct_statements=True,  # relation_quads dedups
+                assume_distinct_statements=True,  # extractor emits distinct
                 property_salt=16,  # hot-entity skew guard
             ),
         )

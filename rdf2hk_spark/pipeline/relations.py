@@ -22,10 +22,13 @@ from rdf2hk_spark.pipeline import corpus
 # a capitalized multi-word proper-name span (letters only, 1-4 words)
 _NAME = "[A-Z][a-z]+(?: [A-Z][a-z]+){0,3}"
 
+_INFIXES = [
+    (" was born in ", corpus.P_BORN_IN),
+    (" works for ", corpus.P_WORKS_FOR),
+    (" knows ", corpus.P_KNOWS),
+]
 _PATTERNS = [
-    (f"({_NAME}) was born in ({_NAME})", corpus.P_BORN_IN),
-    (f"({_NAME}) works for ({_NAME})", corpus.P_WORKS_FOR),
-    (f"({_NAME}) knows ({_NAME})", corpus.P_KNOWS),
+    (f"({_NAME}){infix}({_NAME})", predicate) for infix, predicate in _INFIXES
 ]
 
 
@@ -49,12 +52,23 @@ def extract_relations(pages: DataFrame, catalog: DataFrame,
                       text_col: str = "extracted_text") -> DataFrame:
     """(url, s_id, predicate, o_id, s_surface, o_surface) per matched pattern."""
     branches = []
-    for pattern, predicate in _PATTERNS:
-        m = pages.select(
-            "url",
-            F.regexp_extract(F.col(text_col), pattern, 1).alias("s_surface"),
-            F.regexp_extract(F.col(text_col), pattern, 2).alias("o_surface"),
-        ).filter((F.col("s_surface") != "") & (F.col("o_surface") != ""))
+    for (infix, predicate), (pattern, _) in zip(_INFIXES, _PATTERNS):
+        # ONE full-text regex pass per pattern (group 0), then split the
+        # short match on the fixed infix phrase — the NAME grammar admits no
+        # lowercase words, so the phrase occurs exactly once in a match.
+        # (Extracting groups 1 and 2 separately would scan the page twice.)
+        m = (
+            pages.select(
+                "url",
+                F.regexp_extract(F.col(text_col), pattern, 0).alias("m"),
+            )
+            .filter(F.col("m") != "")
+            .select(
+                "url",
+                F.split_part(F.col("m"), F.lit(infix), F.lit(1)).alias("s_surface"),
+                F.split_part(F.col("m"), F.lit(infix), F.lit(2)).alias("o_surface"),
+            )
+        )
         branches.append(m.withColumn("predicate", F.lit(predicate)))
     rels = branches[0]
     for b in branches[1:]:
@@ -72,10 +86,20 @@ def extract_relations(pages: DataFrame, catalog: DataFrame,
     )
 
 
-def relation_quads(relations: DataFrame, mentions: DataFrame) -> DataFrame:
+def relation_quads(
+    relations: DataFrame, mentions: DataFrame, distinct: bool = True
+) -> DataFrame:
     """Quads for the canonicalizer: relation triples + label literals, each in
     the page's context graph; stmt_idx is derived from a hash of the quad so
-    it is deterministic and order-independent of the extraction plan."""
+    it is deterministic and order-independent of the extraction plan.
+
+    ``distinct=False`` skips the (s,p,o,g) dedup shuffle. THIS extractor
+    provably emits distinct quads already — per page each pattern matches at
+    most once with a distinct predicate, the surface→entity dictionary is
+    unique-keyed (no join fan-out), mentions are array_distinct per page, and
+    label literals can never collide with relation IRIs — so callers that
+    also pass ``assume_distinct_statements`` to parse_quads should disable
+    the dedup here for the same reason (one full-corpus shuffle saved)."""
     g = F.concat(F.lit("<ctx:"), F.col("url"), F.lit(">"))
     rel_q = relations.select(
         F.col("s_id").alias("s"),
@@ -89,7 +113,9 @@ def relation_quads(relations: DataFrame, mentions: DataFrame) -> DataFrame:
         F.concat(F.lit('"'), F.col("surface"), F.lit('"')).alias("o"),
         g.alias("g"),
     )
-    quads = rel_q.unionByName(label_q).dropDuplicates(["s", "p", "o", "g"])
+    quads = rel_q.unionByName(label_q)
+    if distinct:
+        quads = quads.dropDuplicates(["s", "p", "o", "g"])
     # deterministic order: labels cannot collide with relations per (s,p,o,g)
     from rdf2hk_spark.ops.hashing import md5_int
 

@@ -109,7 +109,9 @@ def start_kg_stream(
         cat = corpus.catalog(batch_df.sparkSession)
         rels = relations.extract_relations(ext, cat)
         ments = relations.detect_mentions(ext, cat)
-        quads = relations.relation_quads(rels, ments)
+        quads = relations.relation_quads(rels, ments, distinct=False).coalesce(
+            batch_df.sparkSession.sparkContext.defaultParallelism
+        )
         ents = parse_quads(
             quads,
             ParseOptions(

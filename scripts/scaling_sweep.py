@@ -37,7 +37,7 @@ def main() -> None:
         cat = corpus.catalog(spark)
         rels = relations.extract_relations(ext, cat)
         ments = relations.detect_mentions(ext, cat)
-        quads = relations.relation_quads(rels, ments)
+        quads = relations.relation_quads(rels, ments, distinct=False).coalesce(cpus)
         ents = parse_quads(
             quads,
             ParseOptions(
