@@ -560,7 +560,10 @@ def q_doc_jaccard(spark, sf_dir):
     most cap² each. inter/uni are then computed exactly over ALL shingles of
     the surviving candidate pairs (the LSH path is the scale route, this is
     the oracle-checkable exact op)."""
-    sh = dedup.word_shingles(_docs(spark, sf_dir), k=3)
+    # the exploded shingles frame feeds SIX consumers (df-count, both
+    # self-join sides, pair sizes, intersect sides) — persist once instead
+    # of re-exploding per consumer (measured ~40% of the query's wall)
+    sh = dedup.word_shingles(_docs(spark, sf_dir), k=3).persist()
     rare = (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("df"))
@@ -822,10 +825,23 @@ sh AS (
 )
 """
 
-_MINHASH_CTE = """
+# MinHash universal-hash family (ops/dedup.py minhash_perm_consts): one
+# md5-derived 9-digit integer per shingle, 16 linear permutations mod P —
+# the same python-computed constants are baked into both engines' plans.
+_MH_A, _MH_B = dedup.minhash_perm_consts(16)
+_MH_VALUES = ", ".join(
+    f"({i}, {_MH_A[i]}, {_MH_B[i]})" for i in range(16)
+)
+_H0_SQL = (
+    "CAST(substr(regexp_replace(md5(shingle), '[a-f]', '', 'g')"
+    " || '000000000', 1, 9) AS BIGINT)"
+)
+
+_MINHASH_CTE = f"""
 mh AS (
-  SELECT id, hidx, min(md5(hidx::VARCHAR || '|' || shingle)) AS minh
-  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS hidx) hs
+  SELECT id, hidx, min((a * h0 + b) % {dedup.MINHASH_P}) AS minh
+  FROM (SELECT id, {_H0_SQL} AS h0 FROM sh) x
+  CROSS JOIN (VALUES {_MH_VALUES}) t(hidx, a, b)
   GROUP BY id, hidx
 )
 """
@@ -833,8 +849,8 @@ mh AS (
 _BANDS_CTE = """
 keys AS (
   SELECT id, hidx // 4 AS band,
-         md5(string_agg(hidx::VARCHAR || ':' || minh, '|'
-                        ORDER BY hidx::VARCHAR || ':' || minh)) AS bkey
+         md5(string_agg(hidx::VARCHAR || ':' || minh::VARCHAR, '|'
+                        ORDER BY hidx::VARCHAR || ':' || minh::VARCHAR)) AS bkey
   FROM mh GROUP BY id, hidx // 4
 ),
 bsz AS (SELECT band, bkey, count(*) AS n FROM keys GROUP BY band, bkey)

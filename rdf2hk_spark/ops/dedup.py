@@ -17,9 +17,31 @@ are designed around shuffle economics at 10^12-document scale:
 
 from __future__ import annotations
 
+import hashlib
+import re as _re
+
 from pyspark.sql import DataFrame, functions as F
 
-from rdf2hk_spark.ops.hashing import md5s
+from rdf2hk_spark.ops.hashing import md5_int, md5s
+
+# MinHash universal-hash family: ONE md5-derived 9-digit integer per shingle,
+# then h_i(s) = (a_i·h(s) + b_i) mod P — 16 multiply-adds replace 16 md5
+# invocations per shingle (the md5 was ~all of the signature cost). The a/b
+# constants derive from md5 at import time, so they are identical literals in
+# the Spark plan and the DuckDB oracle SQL. Bounds: h < 10^9, a < P < 2^30 ⇒
+# a·h + b < 10^18.3 < 2^63 (no overflow).
+MINHASH_P = 1_000_000_007
+
+
+def _mi(s: str, digits: int = 9) -> int:
+    h = hashlib.md5(s.encode()).hexdigest()
+    return int((_re.sub("[a-f]", "", h) + "0" * digits)[:digits])
+
+
+def minhash_perm_consts(num_hashes: int) -> tuple[list[int], list[int]]:
+    a = [(_mi(f"a:{i}") % (MINHASH_P - 1)) + 1 for i in range(num_hashes)]
+    b = [_mi(f"b:{i}") % MINHASH_P for i in range(num_hashes)]
+    return a, b
 
 
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -61,19 +83,24 @@ def word_shingles(
 
 
 def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
-    """K minhashes per doc; hash_i(s) = md5(i || '|' || s), min as hex string
-    (lowercase-hex string order is engine-portable). → (id, hidx, minh)."""
-    hashed = shingles.select(
+    """K minhashes per doc via the linear-permutation family (see
+    ``minhash_perm_consts``): integer minima, engine-portable.
+    → (id, hidx, minh: bigint)."""
+    a, b = minhash_perm_consts(num_hashes)
+    base = shingles.select(
+        "id", md5_int(F.col("shingle"), digits=9).alias("h0")
+    )
+    hashed = base.select(
         "id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-                lambda i: F.struct(
-                    i.alias("hidx"),
-                    md5s(
-                        F.concat(i.cast("string"), F.lit("|"), F.col("shingle"))
-                    ).alias("h"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("hidx"),
+                        ((F.lit(a[i]) * F.col("h0") + F.lit(b[i])) % MINHASH_P).alias("h"),
+                    )
+                    for i in range(num_hashes)
+                ]
             )
         ).alias("x"),
     ).select("id", "x.hidx", "x.h")
@@ -90,17 +117,21 @@ def _wide_signature(
     band keys) becomes a map-side projection — no second shuffle. Flat
     min/when expressions stay inside whole-stage codegen (nested
     higher-order-function variants are CodegenFallback and measured slower)."""
+    a, b = minhash_perm_consts(num_hashes)
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(shingle_array(F.col(text_col), k)).alias("shingle"),
     )
-    # one (id, shingle) row carries all num_hashes hashes as COLUMNS — no
+    # ONE md5-derived integer per shingle (CollapseProject keeps the alias
+    # single-evaluated — it never inlines a non-cheap expression referenced
+    # more than once), then one linear permutation per hash as COLUMNS — no
     # hidx explode (16× fewer rows through the aggregate), no conditional
     # buffer updates (each min feeds from its own column)
-    hashed = sh.select(
+    base = sh.select("id", md5_int(F.col("shingle"), digits=9).alias("h0"))
+    hashed = base.select(
         "id",
         *[
-            md5s(F.concat(F.lit(f"{i}|"), F.col("shingle"))).alias(f"h{i}")
+            ((F.lit(a[i]) * F.col("h0") + F.lit(b[i])) % MINHASH_P).alias(f"h{i}")
             for i in range(num_hashes)
         ],
     )
@@ -149,7 +180,7 @@ def lsh_band_keys(
     def bkey(b: int) -> F.Column:
         parts = F.array(
             *[
-                F.concat(F.lit(f"{i}:"), F.col(f"m{i}"))
+                F.concat(F.lit(f"{i}:"), F.col(f"m{i}").cast("string"))
                 for i in range(b * rows_per_band, (b + 1) * rows_per_band)
             ]
         )
@@ -196,7 +227,8 @@ def lsh_candidate_pairs(
     banded = signatures.withColumn("band", (F.col("hidx") / rows_per_band).cast("int"))
     keys = banded.groupBy("id", "band").agg(
         md5s(F.concat_ws("|", F.sort_array(F.collect_list(F.concat(
-            F.col("hidx").cast("string"), F.lit(":"), F.col("minh")
+            F.col("hidx").cast("string"), F.lit(":"),
+            F.col("minh").cast("string")
         ))))).alias("bkey")
     )
     return _pairs_from_keys(keys, max_bucket)
