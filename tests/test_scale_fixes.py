@@ -244,3 +244,25 @@ def test_ivf_trained_codebook(spark, sf_dir):
                   e, q, k=5, n_cells=16, n_probe=4, centroids=cb).collect()}
     recall = len(exact & probed) / len(exact)
     assert recall >= 0.5, recall
+
+
+def test_lsh_band_key_paths_identical(spark):
+    """The map-side band-key path (lsh_band_keys) and the exploded-signature
+    path (minhash_signatures → groupBy banding) must derive byte-identical
+    keys — candidates are then provably the same."""
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta doc{i % 3}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    keys_map = dedup.lsh_band_keys(docs, k=3, num_hashes=16, bands=4, rows_per_band=4)
+    sig = dedup.minhash_signatures(dedup.word_shingles(docs, k=3), num_hashes=16)
+    banded = sig.withColumn("band", (F.col("hidx") / 4).cast("int"))
+    from rdf2hk_spark.ops.hashing import md5s
+    keys_agg = banded.groupBy("id", "band").agg(
+        md5s(F.concat_ws("|", F.sort_array(F.collect_list(F.concat(
+            F.col("hidx").cast("string"), F.lit(":"), F.col("minh").cast("string")
+        ))))).alias("bkey")
+    )
+    a = {(r["id"], r["band"]): r["bkey"] for r in keys_map.collect()}
+    b = {(r["id"], r["band"]): r["bkey"] for r in keys_agg.collect()}
+    assert a == b and len(a) == 12 * 4
