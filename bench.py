@@ -78,7 +78,9 @@ def main() -> None:
         # coalesce (narrow) to one task wave per core: without the dedup
         # exchange the 15 downstream aggregations would each launch the full
         # 128-partition pipeline (measured: task-wave overhead ate the win)
-        quads = relations.relation_quads(rels, ments, distinct=False).coalesce(cpus)
+        quads = relations.relation_quads(rels, ments, distinct=False).coalesce(
+            max(cpus, n_pages // 25_000)
+        )
         ents = parse_quads(
             quads,
             ParseOptions(

@@ -37,7 +37,12 @@ def main() -> None:
         cat = corpus.catalog(spark)
         rels = relations.extract_relations(ext, cat)
         ments = relations.detect_mentions(ext, cat)
-        quads = relations.relation_quads(rels, ments, distinct=False).coalesce(cpus)
+        # partition target sized by DATA (≈25k pages ≈ 170k quads per
+        # partition), floored at one wave per core: coalesce(cpus) alone
+        # creates multi-million-row partitions at sweep sizes (spill)
+        quads = relations.relation_quads(rels, ments, distinct=False).coalesce(
+            max(cpus, n_pages // 25_000)
+        )
         ents = parse_quads(
             quads,
             ParseOptions(
