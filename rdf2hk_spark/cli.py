@@ -140,6 +140,35 @@ def cmd_hk2rdf(args: argparse.Namespace, spark: SparkSession) -> None:
             f.write(rdfxml.to_rdfxml(quads))
 
 
+def cmd_pure(args: argparse.Namespace, spark: SparkSession) -> None:
+    """S9 (purerdf2hkrdf.js:36-89): parse → serialize in one run using the
+    reference's DefaultConversionOptions (purerdf2hkrdf.js:21-34) — the
+    canonical round-trip option set (createContext, setNodeContext,
+    convertHK, convertNumber, compressReification, skipRefNodes,
+    inverseRefNode, reifyArray=false)."""
+    from rdf2hk_spark import constants as C
+    from rdf2hk_spark.operators.parse import ParseOptions, parse_quads
+    from rdf2hk_spark.operators.serialize import (
+        SerializeOptions, serialize_entities,
+    )
+    from rdf2hk_spark.sources import nquads
+
+    quads = _read_quads(spark, args.input, args.mime)
+    ents = parse_quads(
+        quads,
+        ParseOptions(create_context=True, set_node_context=True, convert_hk=True),
+    )
+    rdf = serialize_entities(
+        ents,
+        SerializeOptions(
+            convert_hk=True, convert_number=True, compress_reification=True,
+            skip_ref_nodes=True, inverse_ref_node=True, reify_array=False,
+            default_graph=C.HK_NULL_URI,
+        ),
+    )
+    nquads.write_nquads(rdf, args.output)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="rdf2hk_spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -165,6 +194,15 @@ def build_parser() -> argparse.ArgumentParser:
     h.add_argument("--convert-owl", action="store_true")
     h.add_argument("--convert-number", action="store_true")
     h.set_defaults(fn=cmd_hk2rdf)
+
+    u = sub.add_parser(
+        "pure",
+        help="RDF -> HK -> RDF round-trip with DefaultConversionOptions",
+    )
+    u.add_argument("input")
+    u.add_argument("output", help="output directory (N-Quads lines)")
+    u.add_argument("--mime", default="application/trig")
+    u.set_defaults(fn=cmd_pure)
     return p
 
 

@@ -94,3 +94,20 @@ def test_unsupported_mime_exits(spark, tmp_path):
         cli.main(
             ["rdf2hk", "x", "y", "--mime", "application/pdf"], spark=spark
         )
+
+
+def test_pure_roundtrip_cli(spark, tmp_path):
+    """S9 purerdf2hkrdf.js: parse -> serialize with DefaultConversionOptions;
+    convertHK+compressReification output re-parses to the same entities."""
+    src = tmp_path / "in.trig"
+    src.write_text(
+        "@prefix ex: <http://e/> .\n"
+        "ex:a ex:knows ex:b .\n"
+        'ex:a ex:name "Alice"@en .\n'
+    )
+    out = str(tmp_path / "out")
+    cli.main(["pure", str(src), out, "--mime", "application/trig"], spark=spark)
+    lines = read_text_dir(out)
+    assert any("<http://e/a> <http://e/knows> <http://e/b>" in l for l in lines)
+    # convertHK reification present (isa typing of the knows connector)
+    assert any("hasType" in l or "isa" in l.lower() for l in lines)
