@@ -562,7 +562,10 @@ def q_doc_jaccard(spark, sf_dir):
     the oracle-checkable exact op)."""
     # the exploded shingles frame feeds SIX consumers (df-count, both
     # self-join sides, pair sizes, intersect sides) — persist once instead
-    # of re-exploding per consumer (measured ~40% of the query's wall)
+    # of re-exploding per consumer (measured ~40% of the query's wall);
+    # the result is localCheckpoint-ed below so sh can be RELEASED before
+    # returning instead of pinning the largest doc-pipeline intermediate
+    # for the rest of the driver session
     sh = dedup.word_shingles(_docs(spark, sf_dir), k=3).persist()
     rare = (
         sh.groupBy("shingle")
@@ -579,7 +582,9 @@ def q_doc_jaccard(spark, sf_dir):
         .filter(F.col("inter") >= 5)
         .select("a", "b")
     )
-    return dedup.jaccard_pairs(sh, pairs)
+    out = dedup.jaccard_pairs(sh, pairs).localCheckpoint()
+    sh.unpersist()
+    return out
 
 
 def q_doc_simhash(spark, sf_dir):

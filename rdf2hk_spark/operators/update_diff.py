@@ -89,6 +89,15 @@ def apply_update(quad_store: DataFrame, delta: DataFrame) -> DataFrame:
 
 _GPART = "gpart"
 
+# explicit read schema: partition-column TYPE INFERENCE would parse an
+# all-digit (or digits+'e') md5 hex key as a number, breaking the string
+# isin() pruning filter — zero rows read, merge silently drops the
+# partition's existing quads (possible for any single-graph store,
+# ~1 in 3.5M keys)
+_STORE_SCHEMA = (
+    "s string, p string, o string, g string, " + _GPART + " string"
+)
+
 
 def _gpart(col="g") -> F.Column:
     return F.md5(F.encode(F.col(col), "UTF-8"))
@@ -103,7 +112,9 @@ def write_quad_store(quads: DataFrame, path: str, mode: str = "overwrite") -> No
 
 
 def read_quad_store(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path).select("s", "p", "o", "g")
+    return (
+        spark.read.schema(_STORE_SCHEMA).parquet(path).select("s", "p", "o", "g")
+    )
 
 
 def merge_into_store(spark: SparkSession, path: str, delta: DataFrame) -> list[str]:
@@ -142,7 +153,7 @@ def merge_into_store(spark: SparkSession, path: str, delta: DataFrame) -> list[s
     existing = [k for k in keys if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/{_GPART}={k}"))]
     if existing:
         touched_store = (
-            spark.read.parquet(path)
+            spark.read.schema(_STORE_SCHEMA).parquet(path)
             .filter(F.col(_GPART).isin(existing))
             .select("s", "p", "o", "g")
         )

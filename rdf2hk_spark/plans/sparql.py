@@ -77,12 +77,26 @@ _ESCAPES = {
 
 def _unescape_sparql(body: str) -> str:
     """P12 inverse: undo SPARQL literal escapes (sparqlhelper.js emits
-    \\n/\\r/\\t/\\"/\\\\ when assembling literals)."""
+    \\n/\\r/\\t/\\"/\\\\ when assembling literals), plus \\uXXXX /
+    \\UXXXXXXXX codepoint escapes (SPARQL grammar UCHAR)."""
     out, i = [], 0
     while i < len(body):
         c = body[i]
         if c == "\\" and i + 1 < len(body):
-            out.append(_ESCAPES.get(body[i + 1], body[i + 1]))
+            nxt = body[i + 1]
+            if nxt == "u" and re.fullmatch(r"[0-9A-Fa-f]{4}", body[i + 2 : i + 6]):
+                out.append(chr(int(body[i + 2 : i + 6], 16)))
+                i += 6
+                continue
+            if nxt == "U" and re.fullmatch(r"[0-9A-Fa-f]{8}", body[i + 2 : i + 10]):
+                out.append(chr(int(body[i + 2 : i + 10], 16)))
+                i += 10
+                continue
+            if nxt in ("u", "U"):
+                raise SparqlSyntaxError(
+                    f"malformed \\{nxt} escape in literal at ...{body[i:i+10]!r}"
+                )
+            out.append(_ESCAPES.get(nxt, nxt))
             i += 2
         else:
             out.append(c)
@@ -233,7 +247,12 @@ class _Parser:
                     break
         limit = None
         if self.kw("LIMIT"):
-            limit = int(self.expect("num"))
+            raw = self.expect("num")
+            if not raw.isdigit():
+                raise SparqlSyntaxError(
+                    f"LIMIT must be a non-negative integer, got {raw!r}"
+                )
+            limit = int(raw)
         if self.peek()[0] != "eof":
             raise SparqlSyntaxError(f"trailing tokens at {self.peek()[1]!r}")
         return Query(variables, distinct, from_graphs, where, order, limit)
@@ -435,9 +454,17 @@ def _compile_expr(e: Expr, frame_cols: set[str]) -> Column:
         col, _ = _operand_col(e.args[0], frame_cols)
         return F.coalesce(T.literal_value(col), col).rlike(e.args[1])
     if e.op == "in":
-        col, _ = _operand_col(e.args[0], frame_cols)
-        vals = [v for _, v in e.args[1]]
-        return col.isin(vals)
+        # compile as an OR of equality comparisons so every operand kind gets
+        # cmp's semantics — numeric operands decode typed literals (a raw
+        # isin would ANSI-cast the term string and crash), and variable
+        # operands compare the BOUND column, not the variable's name string.
+        # Catalyst rewrites the plain-equality OR chain to InSet anyway.
+        out = F.lit(False)
+        for operand in e.args[1]:
+            out = out | _compile_expr(
+                Expr("cmp", ["=", e.args[0], operand]), frame_cols
+            )
+        return out
     if e.op == "cmp":
         op, lhs, rhs = e.args
         lcol, lnum = _operand_col(lhs, frame_cols)
@@ -484,8 +511,20 @@ def _join(left: DataFrame | None, right: DataFrame, how: str = "inner") -> DataF
     shared = [c for c in left.columns if c in right.columns]
     if shared:
         return left.join(right, shared, how)
+    if not right.columns:
+        # fully-ground pattern: an EXISTENCE condition, not a multiplier —
+        # semi-join on TRUE keeps each left row iff the pattern matched
+        # anywhere (SPARQL BGP over the set-semantics default graph), with
+        # multiplicity 1 regardless of how many graphs carry the triple
+        return left.join(right, F.lit(True), "left_semi")
+    if not left.columns:
+        # ground pattern came FIRST: same existence semantics, mirrored
+        return right.join(left, F.lit(True), "left_semi")
     if how == "left":
-        return left  # OPTIONAL with no shared vars constrains nothing
+        # OPTIONAL sharing no variables: LeftJoin with disjoint domains —
+        # extend every solution with the optional bindings (cross product),
+        # but keep left rows (null-extended) when the optional side is empty
+        return left.join(right, F.lit(True), "left")
     return left.crossJoin(right)
 
 
@@ -544,6 +583,8 @@ def run_sparql(quads: DataFrame, text: str, hide_hk: bool = False) -> DataFrame:
     frame = _compile_group(base, quads.sparkSession, q.where)
     if frame is None:
         raise SparqlSyntaxError("empty WHERE group")
+    if not frame.columns:
+        raise SparqlSyntaxError("WHERE binds no variables")
     variables = q.variables or sorted(frame.columns)
     missing = [v for v in variables if v not in frame.columns]
     if missing:

@@ -50,11 +50,14 @@ def stream_dedup_exact(
     the streaming checkpoint) are suppressed and counted.
 
     State per md5(text): (keep_id, n_seen). Output one row per NEWLY seen
-    hash: (h, keep_id). keep_id = min doc id (as a string — ids are kept
-    untyped so non-numeric ids never become silent nulls) within the first
-    batch that carried the hash (deterministic under shuffle order). At
-    10^12-doc scale the state store shards by hash exactly like the batch
-    groupBy — no driver-side state, no all-pairs."""
+    hash: (h, keep_id). keep_id = SHORTLEX-min doc id within the first batch
+    that carried the hash — ids stay strings (non-numeric ids never become
+    silent nulls), and shortlex order (length, then lexicographic) agrees
+    with numeric order on digit strings, so the survivor matches the batch
+    ``exact_duplicates`` numeric ``min(id)`` for integer-id corpora.
+    Deterministic under shuffle order. At 10^12-doc scale the state store
+    shards by hash exactly like the batch groupBy — no driver-side state,
+    no all-pairs."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     hashed = docs.select(
@@ -65,13 +68,15 @@ def stream_dedup_exact(
     def dedup_fn(key, pdfs, state):
         import pandas as pd
 
+        shortlex = lambda s: (len(s), s)
         min_id = None
         n = 0
         for pdf in pdfs:
             n += len(pdf)
             if len(pdf):
-                m = str(pdf["doc_id"].min())
-                min_id = m if min_id is None else min(min_id, m)
+                m = min((str(x) for x in pdf["doc_id"]), key=shortlex)
+                if min_id is None or shortlex(m) < shortlex(min_id):
+                    min_id = m
         if state.exists:
             keep_id, seen = state.get
             state.update((keep_id, int(seen) + n))

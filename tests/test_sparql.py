@@ -204,3 +204,95 @@ class TestSyntax:
         )
         out = run_sparql(q2, "SELECT ?x WHERE { ?x <http://p/self> ?x }")
         assert rows(out) == [("<http://e/a>",)]
+
+
+class TestReviewRegressions:
+    """Fixes from the round-3 self-review: IN operand semantics, OPTIONAL
+    with disjoint domains, ground-pattern existence, UCHAR escapes, LIMIT."""
+
+    def test_in_with_numeric_operands(self, quads):
+        out = run_sparql(
+            quads,
+            "SELECT ?x WHERE { ?x <http://p/age> ?a . FILTER(?a IN (42, 99)) }",
+        )
+        assert rows(out) == [("<http://e/a>",)]
+
+    def test_in_with_variable_operand(self, quads, spark):
+        q2 = spark.createDataFrame(
+            [(0, "<http://e/a>", "<http://p/x>", "<http://v/1>", G1),
+             (1, "<http://e/a>", "<http://p/y>", "<http://v/1>", G1),
+             (2, "<http://e/b>", "<http://p/x>", "<http://v/1>", G1),
+             (3, "<http://e/b>", "<http://p/y>", "<http://v/2>", G1)],
+            QUAD_SCHEMA,
+        )
+        out = run_sparql(
+            q2,
+            "SELECT ?s WHERE { ?s <http://p/x> ?a . ?s <http://p/y> ?b ."
+            " FILTER(?a IN (?b)) }",
+        )
+        assert rows(out) == [("<http://e/a>",)]
+
+    def test_optional_disjoint_domains_extends(self, quads, spark):
+        q2 = spark.createDataFrame(
+            [(0, "<http://e/a>", "<http://p/n>", '"x"', G1),
+             (1, "<http://e/z>", "<http://p/m>", '"y"', G1)],
+            QUAD_SCHEMA,
+        )
+        out = run_sparql(
+            q2,
+            "SELECT ?q ?n ?s ?a WHERE { ?q <http://p/n> ?n ."
+            " OPTIONAL { ?s <http://p/m> ?a } }",
+        )
+        assert rows(out) == [("<http://e/a>", '"x"', "<http://e/z>", '"y"')]
+        # empty optional side: left rows survive null-extended
+        out2 = run_sparql(
+            q2,
+            "SELECT ?q ?s WHERE { ?q <http://p/n> ?n ."
+            " OPTIONAL { ?s <http://p/none> ?a } }",
+        )
+        assert rows(out2) == [("<http://e/a>", None)]
+
+    def test_ground_pattern_is_existence_not_multiplier(self, quads, spark):
+        rows_in = [
+            (0, "<http://e/a>", "<http://p/knows>", "<http://e/b>", G1),
+            (1, "<http://e/a>", "<http://p/knows>", "<http://e/b>", G2),
+            (2, "<http://e/x>", "<http://p/age>",
+             '"1"^^<http://www.w3.org/2001/XMLSchema#integer>', G1),
+        ]
+        q2 = spark.createDataFrame(rows_in, QUAD_SCHEMA)
+        out = run_sparql(
+            q2,
+            "SELECT ?x ?a WHERE { ?x <http://p/age> ?a ."
+            " <http://e/a> <http://p/knows> <http://e/b> }",
+        )
+        assert out.count() == 1  # not multiplied by the 2 matching graphs
+        # ground pattern FIRST: same existence semantics
+        out2 = run_sparql(
+            q2,
+            "SELECT ?x WHERE { <http://e/a> <http://p/knows> <http://e/b> ."
+            " ?x <http://p/age> ?a }",
+        )
+        assert out2.count() == 1
+        # non-matching ground pattern filters everything out
+        out3 = run_sparql(
+            q2,
+            "SELECT ?x WHERE { ?x <http://p/age> ?a ."
+            " <http://e/a> <http://p/knows> <http://e/NO> }",
+        )
+        assert out3.count() == 0
+
+    def test_uchar_escapes_decode(self, quads, spark):
+        q2 = spark.createDataFrame(
+            [(0, "<http://e/a>", "<http://p/name>", '"Q!"', G1)], QUAD_SCHEMA
+        )
+        out = run_sparql(
+            q2,
+            'SELECT ?x WHERE { ?x <http://p/name> "\\u0051\\U00000021" }',
+        )
+        assert rows(out) == [("<http://e/a>",)]
+        with pytest.raises(SparqlSyntaxError):
+            run_sparql(q2, 'SELECT ?x WHERE { ?x <http://p/name> "\\uZZ" }')
+
+    def test_limit_rejects_non_integer(self, quads):
+        with pytest.raises(SparqlSyntaxError):
+            run_sparql(quads, "SELECT ?x WHERE { ?x ?p ?o } LIMIT 2.5")
