@@ -569,6 +569,27 @@ def _compile_group(quads: DataFrame, spark, group: Group) -> DataFrame | None:
     return frame
 
 
+def set_filter_from(text: str, named_graph: str) -> str:
+    """sparqlhelper.js:296-327 ``setFilterFrom``: append a ``FROM <g>``
+    dataset clause to a user SELECT query, returning the rewritten string
+    (the reference parses with sparqljs and re-stringifies; here the query
+    is parse-validated with this module's grammar, then the clause is
+    inserted before the WHERE keyword found via the TOKEN stream — a plain
+    regex could match 'WHERE' inside an IRI or literal)."""
+    parse_sparql(text)  # validate first — raises on unsupported syntax
+    iri = named_graph if named_graph.startswith("<") else f"<{named_graph}>"
+    pos = 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if m is None or m.end() == pos:
+            break
+        if m.lastgroup == "word" and m.group("word").upper() == "WHERE":
+            at = m.start("word")
+            return text[:at] + f"FROM {iri} " + text[at:]
+        pos = m.end()
+    raise SparqlSyntaxError("no WHERE clause to scope")
+
+
 def run_sparql(quads: DataFrame, text: str, hide_hk: bool = False) -> DataFrame:
     """Parse and execute a SPARQL SELECT over the quads frame. One column
     per projected variable, values in the engine's term-string encoding.

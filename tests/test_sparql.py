@@ -296,3 +296,34 @@ class TestReviewRegressions:
     def test_limit_rejects_non_integer(self, quads):
         with pytest.raises(SparqlSyntaxError):
             run_sparql(quads, "SELECT ?x WHERE { ?x ?p ?o } LIMIT 2.5")
+
+
+class TestSetFilterFrom:
+    """Mirrors the reference's own integration test
+    (test/integration/sparqlhelper.js): inject a FROM clause."""
+
+    def test_reference_integration_case(self):
+        from rdf2hk_spark.plans.sparql import set_filter_from
+
+        q = "SELECT ?x WHERE { ?x ?y ?z . }"
+        out = set_filter_from(q, "hk://id/TBox")
+        assert " ".join(out.split()).lower() == (
+            "select ?x from <hk://id/tbox> where { ?x ?y ?z . }"
+        )
+
+    def test_scopes_execution(self, quads):
+        from rdf2hk_spark.plans.sparql import set_filter_from
+
+        q = set_filter_from(
+            "SELECT ?x WHERE { ?x <http://p/knows> ?y }", "http://g/2"
+        )
+        out = run_sparql(quads, q)
+        assert rows(out) == [("<http://e/x>",)]
+
+    def test_where_inside_iri_not_confused(self):
+        from rdf2hk_spark.plans.sparql import set_filter_from
+
+        q = "SELECT ?x WHERE { ?x <http://p/WHERE> ?y }"
+        out = set_filter_from(q, "<http://g/1>")
+        assert out.startswith("SELECT ?x FROM <http://g/1> WHERE {")
+        assert "<http://p/WHERE>" in out
