@@ -179,9 +179,12 @@ class Query:
     variables: list[str]  # empty = SELECT *
     distinct: bool
     from_graphs: list[str]
-    where: Group
+    where: Group | None
     order_by: list[tuple[str, bool]]  # (var, ascending)
     limit: int | None
+    form: str = "select"  # select | ask | describe | construct
+    describe_terms: list[str] = field(default_factory=list)  # ?var or <iri>
+    template: list["Pattern"] = field(default_factory=list)  # construct
 
 
 class _Parser:
@@ -212,10 +215,17 @@ class _Parser:
 
     # ---- query ----
     def query(self) -> Query:
+        if self.kw("ASK"):
+            return Query([], False, [], self.group(), [], None, form="ask")
+        if self.kw("DESCRIBE"):
+            return self._describe()
+        if self.kw("CONSTRUCT"):
+            return self._construct()
         if not self.kw("SELECT"):
             k, v = self.peek()
             raise SparqlSyntaxError(
-                f"only SELECT queries are supported (got {v!r})"
+                "only SELECT/ASK/DESCRIBE/CONSTRUCT queries are supported"
+                f" (got {v!r})"
             )
         distinct = self.kw("DISTINCT")
         variables: list[str] = []
@@ -256,6 +266,49 @@ class _Parser:
         if self.peek()[0] != "eof":
             raise SparqlSyntaxError(f"trailing tokens at {self.peek()[1]!r}")
         return Query(variables, distinct, from_graphs, where, order, limit)
+
+    def _describe(self) -> Query:
+        """DESCRIBE (?var | <iri>)+ [FROM <g>]* [WHERE group] — the form
+        fromUris generates (sparqlfactory.js:342-410)."""
+        terms: list[str] = []
+        while True:
+            k, v = self.peek()
+            if k in ("var", "iri"):
+                terms.append(self.next()[1])
+            else:
+                break
+        if not terms:
+            raise SparqlSyntaxError("DESCRIBE needs at least one term")
+        from_graphs: list[str] = []
+        while self.kw("FROM"):
+            from_graphs.append(self.expect("iri"))
+        where = self.group() if self.kw("WHERE") else None
+        if self.peek()[0] != "eof":
+            raise SparqlSyntaxError(f"trailing tokens at {self.peek()[1]!r}")
+        return Query(
+            [], False, from_graphs, where, [], None,
+            form="describe", describe_terms=terms,
+        )
+
+    def _construct(self) -> Query:
+        self.expect("punct", "{")
+        template: list[Pattern] = []
+        while self.peek() != ("punct", "}"):
+            template.append(self.pattern())
+            if self.peek() == ("punct", "."):
+                self.next()
+        self.next()
+        from_graphs: list[str] = []
+        while self.kw("FROM"):
+            from_graphs.append(self.expect("iri"))
+        self.expect("word", "WHERE")
+        where = self.group()
+        if self.peek()[0] != "eof":
+            raise SparqlSyntaxError(f"trailing tokens at {self.peek()[1]!r}")
+        return Query(
+            [], False, from_graphs, where, [], None,
+            form="construct", template=template,
+        )
 
     # ---- group ----
     def group(self) -> Group:
@@ -591,17 +644,85 @@ def set_filter_from(text: str, named_graph: str) -> str:
 
 
 def run_sparql(quads: DataFrame, text: str, hide_hk: bool = False) -> DataFrame:
-    """Parse and execute a SPARQL SELECT over the quads frame. One column
-    per projected variable, values in the engine's term-string encoding.
+    """Parse and execute a SPARQL query over the quads frame.
+
+    - SELECT → one column per projected variable (term-string encoding);
+    - ASK → a single-row frame with one boolean column ``ask`` (lazy — the
+      existence aggregate runs when the frame is consumed);
+    - DESCRIBE → (s, p, o, g) quads whose SUBJECT is a described node
+      (outgoing / CBD-style description, the shape the reference's endpoint
+      returns for the fromUris DESCRIBE, sparqlfactory.js:342-410);
+    - CONSTRUCT → (s, p, o) triples instantiated from the template per
+      binding, set-deduplicated.
+
     ``hide_hk`` = the reference's ``setHKFiltered`` (Q12): every pattern
     scan excludes HK-vocabulary statements (P14)."""
     q = parse_sparql(text)
+    spark = quads.sparkSession
     base = quads
     if q.from_graphs:
         base = base.filter(F.col("g").isin(q.from_graphs))
     if hide_hk:
         base = filter_hk(base)
-    frame = _compile_group(base, quads.sparkSession, q.where)
+
+    if q.form == "ask":
+        frame = _compile_group(base, spark, q.where)
+        if frame is None:
+            raise SparqlSyntaxError("empty ASK group")
+        return frame.agg(F.count(F.lit(1)).alias("_n")).select(
+            (F.col("_n") > 0).alias("ask")
+        )
+
+    if q.form == "describe":
+        var_terms = [t[1:] for t in q.describe_terms if t.startswith("?")]
+        iri_terms = [t for t in q.describe_terms if not t.startswith("?")]
+        id_frames = []
+        if var_terms:
+            if q.where is None:
+                raise SparqlSyntaxError("DESCRIBE ?var requires a WHERE group")
+            frame = _compile_group(base, spark, q.where)
+            if frame is None:
+                raise SparqlSyntaxError("empty WHERE group")
+            for v in var_terms:
+                if v not in frame.columns:
+                    raise SparqlSyntaxError(f"DESCRIBE variable ?{v} not bound")
+                id_frames.append(frame.select(F.col(v).alias("_did")))
+        if iri_terms:
+            id_frames.append(
+                spark.createDataFrame([(t,) for t in iri_terms], "_did string")
+            )
+        ids = id_frames[0]
+        for f in id_frames[1:]:
+            ids = ids.unionByName(f)
+        return base.join(
+            ids.distinct().withColumnRenamed("_did", "s"), "s", "left_semi"
+        ).select("s", "p", "o", "g")
+
+    if q.form == "construct":
+        frame = _compile_group(base, spark, q.where)
+        if frame is None:
+            raise SparqlSyntaxError("empty WHERE group")
+        cols = set(frame.columns)
+        out = None
+        for pat in q.template:
+            exprs = []
+            for pos, term in (("s", pat.s), ("p", pat.p), ("o", pat.o)):
+                if term.startswith("?"):
+                    var = term[1:]
+                    if var not in cols:
+                        raise SparqlSyntaxError(
+                            f"CONSTRUCT template variable ?{var} not bound"
+                        )
+                    exprs.append(F.col(var).alias(pos))
+                else:
+                    exprs.append(F.lit(term).alias(pos))
+            branch = frame.select(*exprs)
+            out = branch if out is None else out.unionByName(branch)
+        if out is None:
+            raise SparqlSyntaxError("empty CONSTRUCT template")
+        return out.dropDuplicates(["s", "p", "o"])
+
+    frame = _compile_group(base, spark, q.where)
     if frame is None:
         raise SparqlSyntaxError("empty WHERE group")
     if not frame.columns:

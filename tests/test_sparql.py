@@ -186,7 +186,7 @@ class TestSyntax:
     @pytest.mark.parametrize(
         "bad",
         [
-            "ASK { ?s ?p ?o }",
+            "DELETE WHERE { ?s ?p ?o }",
             "SELECT ?x WHERE { ?x <http://p> ?y } GARBAGE",
             "SELECT ?x WHERE { ?x <http://p> }",
             "SELECT ?z WHERE { ?x <http://p> ?y }",
@@ -327,3 +327,54 @@ class TestSetFilterFrom:
         out = set_filter_from(q, "<http://g/1>")
         assert out.startswith("SELECT ?x FROM <http://g/1> WHERE {")
         assert "<http://p/WHERE>" in out
+
+
+class TestOtherForms:
+    """ASK / DESCRIBE / CONSTRUCT — the other query forms the reference's
+    builder generates (sparqlbuilder.js; fromUris emits DESCRIBE)."""
+
+    def test_ask(self, quads):
+        yes = run_sparql(quads, "ASK { <http://e/a> <http://p/knows> ?y }")
+        no = run_sparql(quads, "ASK { <http://e/a> <http://p/none> ?y }")
+        assert [r["ask"] for r in yes.collect()] == [True]
+        assert [r["ask"] for r in no.collect()] == [False]
+
+    def test_describe_iri(self, quads):
+        out = run_sparql(quads, "DESCRIBE <http://e/a>")
+        got = {(r["s"], r["p"], r["o"]) for r in out.collect()}
+        assert ("<http://e/a>", "<http://p/knows>", "<http://e/b>") in got
+        assert ("<http://e/a>", "<http://p/name>", '"Alice"@en') in got
+        assert all(s == "<http://e/a>" for s, _, _ in got)
+
+    def test_describe_var_with_where(self, quads):
+        """describe ?s ?o where { values ?s {...} . ?s ?p ?o } — the exact
+        shape fromUris generates at level 1 (sparqlfactory.js:360-393)."""
+        out = run_sparql(
+            quads,
+            "DESCRIBE ?s ?o WHERE { VALUES ?s { <http://e/a> } . ?s ?p ?o }",
+        )
+        subs = {r["s"] for r in out.collect()}
+        assert "<http://e/a>" in subs  # the seed
+        assert "<http://e/b>" in subs  # its object, described too
+        assert "<http://e/x>" not in subs
+
+    def test_construct(self, quads):
+        out = run_sparql(
+            quads,
+            "CONSTRUCT { ?y <http://p/knownBy> ?x } WHERE"
+            " { ?x <http://p/knows> ?y }",
+        )
+        got = {(r["s"], r["p"], r["o"]) for r in out.collect()}
+        assert got == {
+            ("<http://e/b>", "<http://p/knownBy>", "<http://e/a>"),
+            ("<http://e/c>", "<http://p/knownBy>", "<http://e/b>"),
+            ("<http://e/y>", "<http://p/knownBy>", "<http://e/x>"),
+        }
+
+    def test_construct_unbound_template_var_raises(self, quads):
+        with pytest.raises(SparqlSyntaxError):
+            run_sparql(
+                quads,
+                "CONSTRUCT { ?z <http://p/x> ?x } WHERE"
+                " { ?x <http://p/knows> ?y }",
+            ).collect()
