@@ -709,6 +709,12 @@ def q_doc_fingerprint(spark, sf_dir):
     return textstats.fingerprints(_docs(spark, sf_dir), k=5)
 
 
+def q_doc_repetition(spark, sf_dir):
+    """Gopher-style within-doc repetition signals (top-2gram mass,
+    duplicate-word mass), integer-exact."""
+    return textstats.repetition_stats(_docs(spark, sf_dir), n=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_connectors": q_kg_connectors,
@@ -749,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "doc_langid": q_doc_langid,
         "doc_fingerprint": q_doc_fingerprint,
+        "doc_repetition": q_doc_repetition,
     }
 
 
@@ -1502,5 +1509,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, list_aggregate(hs, 'min') AS fp,
                    len(hs)::BIGINT AS n_grams
             FROM g
+        """,
+        "doc_repetition": """
+            WITH t AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS w
+                       FROM documents),
+            g AS (
+              SELECT id,
+                     list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+                       i -> w[i] || ' ' || w[i+1]) AS grams,
+                     w
+              FROM t
+            ),
+            gc AS (
+              SELECT id, max(c) AS top_gram_n FROM (
+                SELECT id, gram, count(*) AS c
+                FROM (SELECT id, unnest(grams) AS gram FROM g) x
+                GROUP BY id, gram
+              ) GROUP BY id
+            )
+            SELECT g.id, len(g.grams)::BIGINT AS n_grams,
+                   coalesce(gc.top_gram_n, 0)::BIGINT AS top_gram_n,
+                   len(g.w)::BIGINT AS n_words,
+                   len(list_distinct(g.w))::BIGINT AS n_distinct_words
+            FROM g LEFT JOIN gc ON gc.id = g.id
         """,
     }

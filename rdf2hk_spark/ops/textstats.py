@@ -90,3 +90,50 @@ def fingerprints(
         F.array_min(hashed).alias("fp"),
         F.size(grams).cast("long").alias("n_grams"),
     )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Within-document repetition signals (the Gopher/RefinedWeb-style
+    repetitive-content filters), integer-exact for oracle parity:
+    (id, n_grams, top_gram_n, n_words, n_distinct_words).
+
+    - ``top_gram_n / n_grams`` = fraction of the document occupied by its
+      single most-frequent word n-gram (boilerplate/listicle detector);
+    - ``1 - n_distinct_words / n_words`` = duplicate-word mass.
+
+    Plan: explode n-grams → count per (id, gram) → max per id; partial
+    map-side combines keep the shuffle at one row per (id, gram). Ties on
+    the max count are irrelevant (only the count is emitted)."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(
+        F.col(id_col).alias("id"), toks.alias("toks"), grams.alias("grams")
+    )
+    word_stats = base.select(
+        "id",
+        F.size("toks").cast("long").alias("n_words"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct_words"),
+        F.size("grams").cast("long").alias("n_grams"),
+    )
+    gram_counts = (
+        base.select("id", F.explode("grams").alias("gram"))
+        .groupBy("id", "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("id")
+        .agg(F.max("c").alias("top_gram_n"))
+    )
+    return word_stats.join(gram_counts, "id", "left").select(
+        "id", "n_grams",
+        F.coalesce("top_gram_n", F.lit(0)).cast("long").alias("top_gram_n"),
+        "n_words", "n_distinct_words",
+    )
