@@ -65,7 +65,10 @@ def main() -> None:
 
     n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES",
                                  str(max(int(float(sf) * 600_000), 2000))))
-    pages = corpus.pages(spark, n_pages).repartition(max(cpus * 4, 64)).cache()
+    # 2 waves per core: measured cold-run optimum (128 partitions at 32 cores
+    # paid ~7 s extra python-worker/codegen spin-up on the first execution;
+    # warm runs are partition-count-insensitive between 32 and 128)
+    pages = corpus.pages(spark, n_pages).repartition(max(cpus * 2, 32)).cache()
     pages.count()
 
     def web_pipeline():
