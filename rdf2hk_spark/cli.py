@@ -9,11 +9,13 @@ table (the distributed-native form) unless the output path ends in ``.json``,
 in which case the entities are collected and dumped as a JSON array —
 fixture-scale only, exactly like the reference's single-process CLI.
 
-``hk2rdf`` serializes an entities parquet back to RDF. N-Quads/N-Triples
-write distributed (``write_nquads``); RDF/XML is a driver-side sink (the
+``hk2rdf`` serializes an entities parquet back to RDF. N-Quads writes
+distributed (``write_nquads``); TriG writes named graphs as
+single-statement blocks (``write_trig`` — splittable, shuffle-free);
+Turtle/N-Triples output FLATTENS graphs (valid Turtle; the reference's
+RDF/XML sink flattens the same way); RDF/XML is a driver-side sink (the
 format is not splittable — mirrored restriction from sources/rdfxml.py);
-``application/json`` writes [s,p,o,g] JSON lines. Turtle output is emitted
-as N-Triples lines (a syntactic subset of Turtle); TriG as N-Quads.
+``application/json`` writes [s,p,o,g] JSON lines.
 
 Mime-type names follow the reference's SUPPORTED_MIME_TYPES sets.
 """
@@ -37,10 +39,10 @@ PARSE_MIMES = {
 }
 SERIALIZE_MIMES = {
     "application/n-quads": "nquads",
-    "application/n-triples": "nquads",
-    "text/turtle": "nquads",  # N-Triples lines are valid Turtle
-    "application/turtle": "nquads",
-    "application/trig": "nquads",
+    "application/n-triples": "ntriples",  # graphs flattened (valid Turtle too)
+    "text/turtle": "ntriples",
+    "application/turtle": "ntriples",
+    "application/trig": "trig",  # named graphs as single-statement blocks
     "application/rdf+xml": "rdfxml",
     "application/json": "json",
 }
@@ -129,6 +131,10 @@ def cmd_hk2rdf(args: argparse.Namespace, spark: SparkSession) -> None:
     rdf = serialize_entities(ents, opts)
     if kind == "nquads":
         nquads.write_nquads(rdf, args.output)
+    elif kind == "ntriples":
+        nquads.to_ntriples_lines(rdf).write.mode("overwrite").text(args.output)
+    elif kind == "trig":
+        nquads.write_trig(rdf, args.output)
     elif kind == "json":
         jsongraph.write_json_quads(rdf, args.output)
     else:  # rdfxml — driver-side sink, fixture-scale (format not splittable)
@@ -166,7 +172,8 @@ def cmd_pure(args: argparse.Namespace, spark: SparkSession) -> None:
             default_graph=C.HK_NULL_URI,
         ),
     )
-    nquads.write_nquads(rdf, args.output)
+    # the reference's pure CLI emits application/trig (purerdf2hkrdf.js:73)
+    nquads.write_trig(rdf, args.output)
 
 
 def build_parser() -> argparse.ArgumentParser:

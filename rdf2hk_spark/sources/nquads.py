@@ -151,6 +151,43 @@ def write_nquads(quads: DataFrame, path: str, default_graph: str = C.HK_NULL_URI
     to_nquads_lines(quads, default_graph).write.mode("overwrite").text(path)
 
 
+def to_trig_lines(quads: DataFrame, default_graph: str = C.HK_NULL_URI) -> DataFrame:
+    """Quads → TriG statements, one per line: default-graph rows as plain
+    triples, named-graph rows as single-statement ``<g> { s p o . }``
+    blocks. TriG permits repeating blocks for the same graph (the graph is
+    their union), so the sink stays line-oriented and arbitrarily
+    splittable — no per-graph grouping shuffle, and the output re-parses
+    with the Turtle/TriG reader. More verbose than one block per graph;
+    that is the price of a shuffle-free distributed writer."""
+    o = F.col("o")
+    o_enc = F.when(o.startswith('"'), _escape_literal_term(o)).otherwise(o)
+    triple = F.concat(F.col("s"), F.lit(" "), F.col("p"), F.lit(" "), o_enc, F.lit(" ."))
+    named = F.col("g").isNotNull() & (F.col("g") != default_graph)
+    return quads.select(
+        F.when(
+            named, F.concat(F.col("g"), F.lit(" { "), triple, F.lit(" }"))
+        ).otherwise(triple).alias("value")
+    )
+
+
+def write_trig(quads: DataFrame, path: str, default_graph: str = C.HK_NULL_URI) -> None:
+    to_trig_lines(quads, default_graph).write.mode("overwrite").text(path)
+
+
+def to_ntriples_lines(quads: DataFrame) -> DataFrame:
+    """Quads → N-Triples lines with graphs FLATTENED (dropped) — the valid
+    Turtle/N-Triples projection of a multi-graph store (the reference's
+    RDF/XML sink flattens the same way, graphfactory.js:168-189). Distinct
+    because two graphs may carry the same triple."""
+    o = F.col("o")
+    o_enc = F.when(o.startswith('"'), _escape_literal_term(o)).otherwise(o)
+    return quads.select(
+        F.concat(
+            F.col("s"), F.lit(" "), F.col("p"), F.lit(" "), o_enc, F.lit(" .")
+        ).alias("value")
+    ).distinct()
+
+
 # ---------------------------------------------------------------------------
 # driver-side Turtle reader (fixtures only)
 # ---------------------------------------------------------------------------

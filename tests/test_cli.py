@@ -111,3 +111,33 @@ def test_pure_roundtrip_cli(spark, tmp_path):
     assert any("<http://e/a> <http://e/knows> <http://e/b>" in l for l in lines)
     # convertHK reification present (isa typing of the knows connector)
     assert any("hasType" in l or "isa" in l.lower() for l in lines)
+
+
+def test_hk2rdf_trig_and_turtle_sinks(spark, tmp_path):
+    """TriG keeps named graphs as blocks (re-parses with the Turtle reader);
+    Turtle flattens graphs into plain triples."""
+    src = tmp_path / "in.nq"
+    src.write_text(
+        "<http://e/a> <http://p/r> <http://e/b> <http://g/1> .\n"
+        "<http://e/c> <http://p/r> <http://e/d> .\n"
+    )
+    ents = str(tmp_path / "ents")
+    cli.main(
+        ["rdf2hk", str(src), ents, "--mime", "application/n-quads",
+         "--create-context", "--set-node-context"],
+        spark=spark,
+    )
+    trig = str(tmp_path / "out.trig")
+    cli.main(["hk2rdf", ents, trig, "--mime", "application/trig"], spark=spark)
+    text = "\n".join(read_text_dir(trig))
+    from rdf2hk_spark.sources.nquads import parse_turtle_driver
+
+    back = {(s, p, o, g) for _, s, p, o, g in parse_turtle_driver(text)}
+    assert ("<http://e/a>", "<http://p/r>", "<http://e/b>", "<http://g/1>") in back
+    assert any(s == "<http://e/c>" and g == "<hk://id/null>" for s, _, _, g in back)
+
+    ttl = str(tmp_path / "out.ttl")
+    cli.main(["hk2rdf", ents, ttl, "--mime", "text/turtle"], spark=spark)
+    lines = read_text_dir(ttl)
+    assert "<http://e/a> <http://p/r> <http://e/b> ." in lines  # graph dropped
+    assert all("{" not in l and l.count(" ") == 3 for l in lines)
