@@ -633,17 +633,24 @@ def _neardup_corpus(spark, sf_dir) -> DataFrame:
         ).cast("double") / 1e6 - 0.5,
     )
     raw = F.zip_with(F.col("embedding"), u, lambda x, w: x + F.lit(0.125) * w)
+    # staged selects: (a) materialize `raw` as a column so the norm fold and
+    # the per-element division don't each re-inline the md5 perturbation
+    # (interpreted HOF lambdas re-evaluate subexpressions per element);
+    # (b) keep vec_id un-renamed until the last select — the lateral-column-
+    # alias resolver would otherwise bind the perturbation's F.col("vec_id")
+    # to the shifted id, changing every md5 seed
+    with_raw = near_base.select("vec_id", raw.alias("_raw"))
     norm = F.sqrt(
         F.aggregate(
-            F.transform(raw, lambda x: x * x), F.lit(0.0), lambda a, v: a + v
+            F.transform(F.col("_raw"), lambda x: x * x),
+            F.lit(0.0), lambda a, v: a + v,
         )
     )
-    # two-step select: renaming vec_id in the SAME select would make the
-    # lateral-column-alias resolver bind the perturbation's F.col("vec_id")
-    # to the shifted id, changing every md5 seed
-    near = near_base.select(
-        "vec_id", F.transform(raw, lambda x: x / norm).alias("embedding")
-    ).select((F.col("vec_id") + 2_000_000).alias("vec_id"), "embedding")
+    with_norm = with_raw.select("vec_id", "_raw", norm.alias("_norm"))
+    near = with_norm.select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"),
+        F.transform(F.col("_raw"), lambda x: x / F.col("_norm")).alias("embedding"),
+    )
     return e.unionByName(dupes).unionByName(near)
 
 
@@ -844,10 +851,9 @@ _MH_A, _MH_B = dedup.minhash_perm_consts(16)
 _MH_VALUES = ", ".join(
     f"({i}, {_MH_A[i]}, {_MH_B[i]})" for i in range(16)
 )
-_H0_SQL = (
-    "CAST(substr(regexp_replace(md5(shingle), '[a-f]', '', 'g')"
-    " || '000000000', 1, 9) AS BIGINT)"
-)
+from rdf2hk_spark.ops.hashing import md5_int_sql as _md5_int_sql
+
+_H0_SQL = _md5_int_sql("shingle", 9)
 
 _MINHASH_CTE = f"""
 mh AS (
@@ -875,10 +881,7 @@ _W_PD = (
 )
 
 # per-dimension perturbation integer for the seeded near-duplicates
-_U_ID_D = (
-    "CAST(substr(regexp_replace(md5(id::VARCHAR || '#' || (d-1)::VARCHAR),"
-    " '[a-f]', '', 'g') || '000000', 1, 6) AS BIGINT)"
-)
+_U_ID_D = _md5_int_sql("id::VARCHAR || '#' || (d-1)::VARCHAR", 6)
 
 
 def _ivf_assign_sql(cents: str) -> str:

@@ -28,6 +28,8 @@ import sys
 
 from pyspark.sql import DataFrame, SparkSession
 
+QUAD_SCHEMA = "stmt_idx long, s string, p string, o string, g string"
+
 PARSE_MIMES = {
     "application/n-quads": "nquads",
     "application/n-triples": "nquads",
@@ -62,15 +64,11 @@ def _read_quads(spark: SparkSession, path: str, mime: str) -> DataFrame:
     if kind == "turtle":
         with open(path, encoding="utf-8") as f:
             rows = nquads.parse_turtle_driver(f.read())
-        return spark.createDataFrame(
-            rows, "stmt_idx long, s string, p string, o string, g string"
-        )
+        return spark.createDataFrame(rows, QUAD_SCHEMA)
     if kind == "rdfxml":
         with open(path, encoding="utf-8") as f:
             rows = rdfxml.parse_rdfxml_driver(f.read())
-        return spark.createDataFrame(
-            rows, "stmt_idx long, s string, p string, o string, g string"
-        )
+        return spark.createDataFrame(rows, QUAD_SCHEMA)
     return jsongraph.read_json_quads(spark, path)
 
 

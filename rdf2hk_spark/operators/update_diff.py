@@ -144,13 +144,12 @@ def merge_into_store(spark: SparkSession, path: str, delta: DataFrame) -> list[s
         return []
 
     sc = spark.sparkContext
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    HPath = spark._jvm.org.apache.hadoop.fs.Path
+    fs = HPath(path).getFileSystem(sc._jsc.hadoopConfiguration())
 
     # read ONLY the touched partitions: a literal IN-filter on the partition
     # column prunes at planning time (PartitionFilters in the scan node)
-    existing = [k for k in keys if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/{_GPART}={k}"))]
+    existing = [k for k in keys if fs.exists(HPath(f"{path}/{_GPART}={k}"))]
     if existing:
         touched_store = (
             spark.read.schema(_STORE_SCHEMA).parquet(path)
@@ -172,11 +171,11 @@ def merge_into_store(spark: SparkSession, path: str, delta: DataFrame) -> list[s
     # swap: delete each touched partition dir, move in its staged replacement
     # (absent staged dir = every row of that partition was deleted)
     for k in keys:
-        dst = jvm.org.apache.hadoop.fs.Path(f"{path}/{_GPART}={k}")
-        src = jvm.org.apache.hadoop.fs.Path(f"{staging}/{_GPART}={k}")
+        dst = HPath(f"{path}/{_GPART}={k}")
+        src = HPath(f"{staging}/{_GPART}={k}")
         if fs.exists(dst):
             fs.delete(dst, True)
         if fs.exists(src):
             fs.rename(src, dst)
-    fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+    fs.delete(HPath(staging), True)
     return keys

@@ -17,12 +17,9 @@ are designed around shuffle economics at 10^12-document scale:
 
 from __future__ import annotations
 
-import hashlib
-import re as _re
-
 from pyspark.sql import DataFrame, functions as F
 
-from rdf2hk_spark.ops.hashing import md5_int, md5s
+from rdf2hk_spark.ops.hashing import md5_int, md5_int_py, md5s
 
 # MinHash universal-hash family: ONE md5-derived 9-digit integer per shingle,
 # then h_i(s) = (a_i·h(s) + b_i) mod P — 16 multiply-adds replace 16 md5
@@ -33,14 +30,9 @@ from rdf2hk_spark.ops.hashing import md5_int, md5s
 MINHASH_P = 1_000_000_007
 
 
-def _mi(s: str, digits: int = 9) -> int:
-    h = hashlib.md5(s.encode()).hexdigest()
-    return int((_re.sub("[a-f]", "", h) + "0" * digits)[:digits])
-
-
 def minhash_perm_consts(num_hashes: int) -> tuple[list[int], list[int]]:
-    a = [(_mi(f"a:{i}") % (MINHASH_P - 1)) + 1 for i in range(num_hashes)]
-    b = [_mi(f"b:{i}") % MINHASH_P for i in range(num_hashes)]
+    a = [(md5_int_py(f"a:{i}", 9) % (MINHASH_P - 1)) + 1 for i in range(num_hashes)]
+    b = [md5_int_py(f"b:{i}", 9) % MINHASH_P for i in range(num_hashes)]
     return a, b
 
 

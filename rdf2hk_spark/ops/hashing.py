@@ -31,3 +31,13 @@ MD5_INT_SQL = (
 
 def md5_int_sql(x: str, digits: int = 6) -> str:
     return MD5_INT_SQL.format(x=x, pad="0" * digits, digits=digits)
+
+
+def md5_int_py(s: str, digits: int = 6) -> int:
+    """Pure-Python twin of md5_int — for deriving constants that must be
+    identical literals in the Spark plan and the oracle SQL."""
+    import hashlib
+    import re
+
+    h = hashlib.md5(s.encode()).hexdigest()
+    return int((re.sub("[a-f]", "", h) + "0" * digits)[:digits])

@@ -106,7 +106,14 @@ def repetition_stats(
     Plan: explode n-grams → count per (id, gram) → max per id; partial
     map-side combines keep the shuffle at one row per (id, gram). Ties on
     the max count are irrelevant (only the count is emitted)."""
-    toks = F.split(F.lower(F.col(text_col)), " ")
+    # two-step select: grams references the tokenized COLUMN, so the
+    # split/lower runs once per row (CollapseProject keeps a non-cheap alias
+    # referenced more than once un-inlined)
+    tok_frame = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.lower(F.col(text_col)), " ").alias("toks"),
+    )
+    toks = F.col("toks")
     grams = F.when(
         F.size(toks) >= n,
         F.transform(
@@ -116,9 +123,7 @@ def repetition_stats(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    base = df.select(
-        F.col(id_col).alias("id"), toks.alias("toks"), grams.alias("grams")
-    )
+    base = tok_frame.select("id", "toks", grams.alias("grams"))
     word_stats = base.select(
         "id",
         F.size("toks").cast("long").alias("n_words"),

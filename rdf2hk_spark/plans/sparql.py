@@ -410,6 +410,16 @@ class _Parser:
             return ("num", float(v))
         return ("term", self._term_token())
 
+    def _operand_list(self):
+        """'(' operand (',' operand)* ')' — the IN/NOT IN tail."""
+        self.expect("punct", "(")
+        terms = [self._operand()]
+        while self.peek() == ("punct", ","):
+            self.next()
+            terms.append(self._operand())
+        self.expect("punct", ")")
+        return terms
+
     def expr_cmp(self) -> Expr:
         k, v = self.peek()
         if (k, v) == ("punct", "("):
@@ -437,29 +447,11 @@ class _Parser:
         k, op = self.peek()
         if k == "word" and op.upper() == "IN":
             self.next()
-            self.expect("punct", "(")
-            terms = []
-            while True:
-                terms.append(self._operand())
-                if self.peek() == ("punct", ","):
-                    self.next()
-                    continue
-                break
-            self.expect("punct", ")")
-            return Expr("in", [left, terms])
+            return Expr("in", [left, self._operand_list()])
         if k == "word" and op.upper() == "NOT":
             self.next()
             self.expect("word", "IN")
-            self.expect("punct", "(")
-            terms = []
-            while True:
-                terms.append(self._operand())
-                if self.peek() == ("punct", ","):
-                    self.next()
-                    continue
-                break
-            self.expect("punct", ")")
-            return Expr("not", [Expr("in", [left, terms])])
+            return Expr("not", [Expr("in", [left, self._operand_list()])])
         if k == "punct" and op in ("=", "!=", "<", "<=", ">", ">="):
             self.next()
             right = self._operand()
