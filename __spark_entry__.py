@@ -700,6 +700,28 @@ def q_kg_sparql_select(spark, sf_dir):
     return run_sparql(tpch_kg.quads_df(spark, sf_dir), text)
 
 
+def q_kg_sparql_describe(spark, sf_dir):
+    """SPARQL DESCRIBE with the VALUES shape fromUris generates: the seed
+    node plus everything it points at, as outgoing quads."""
+    from rdf2hk_spark.plans.sparql import run_sparql
+
+    return run_sparql(
+        tpch_kg.quads_df(spark, sf_dir),
+        "DESCRIBE ?s ?o WHERE { VALUES ?s { <urn:hk:nation/0> } . ?s ?p ?o }",
+    )
+
+
+def q_kg_sparql_construct(spark, sf_dir):
+    """SPARQL CONSTRUCT: materialize the inverse relation of inRegion."""
+    from rdf2hk_spark.plans.sparql import run_sparql
+
+    return run_sparql(
+        tpch_kg.quads_df(spark, sf_dir),
+        "CONSTRUCT { ?r <urn:hk:p/hasNation> ?n } WHERE"
+        " { ?n <urn:hk:p/inRegion> ?r }",
+    )
+
+
 def q_doc_token_stats(spark, sf_dir):
     return textstats.token_stats(_docs(spark, sf_dir))
 
@@ -758,6 +780,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup": q_embed_neardup,
         "kg_from_uris": q_kg_from_uris,
         "kg_sparql_select": q_kg_sparql_select,
+        "kg_sparql_describe": q_kg_sparql_describe,
+        "kg_sparql_construct": q_kg_sparql_construct,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
         "doc_langid": q_doc_langid,
@@ -1080,6 +1104,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.p = '<urn:hk:p/inRegion>'
               AND a.o <> '<urn:hk:region/1>'
               AND CAST(regexp_extract(c.o, '^"([0-9]+)"', 1) AS DOUBLE) >= 10
+        """,
+        "kg_sparql_describe": f"""
+            WITH {_Q},
+            ids AS (
+              SELECT '<urn:hk:nation/0>' AS id
+              UNION
+              SELECT o FROM quads WHERE s = '<urn:hk:nation/0>'
+            )
+            SELECT s, p, o, g FROM quads WHERE s IN (SELECT id FROM ids)
+        """,
+        "kg_sparql_construct": f"""
+            WITH {_Q}
+            SELECT DISTINCT o AS s, '<urn:hk:p/hasNation>' AS p, s AS o
+            FROM quads WHERE p = '<urn:hk:p/inRegion>'
         """,
         "kg_titles": f"""
             WITH {_Q}, {_NODES_CTE}
