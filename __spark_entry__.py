@@ -600,6 +600,16 @@ def q_ann_lsh_buckets(spark, sf_dir):
     return similarity.lsh_buckets(_embs(spark, sf_dir), planes=8)
 
 
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH approximate top-k end to end: candidates share the query's
+    8-plane bucket, exact re-rank within (rank may be < k in thin buckets —
+    the approximation, mirrored exactly by the oracle)."""
+    e = _embs(spark, sf_dir)
+    return similarity.ann_topk_lsh(
+        e, e.filter(F.col("vec_id") < 10), k=5, planes=8
+    )
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF approximate top-k: nearest-centroid cells (16 deterministic
     centroids), 4 probed cells per query, exact re-rank within."""
@@ -775,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash": q_doc_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_trained": q_ann_ivf_trained,
         "embed_neardup": q_embed_neardup,
@@ -1317,6 +1328,38 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, ''
                               ORDER BY p) AS bucket
             FROM b GROUP BY id
+        """,
+        "ann_lsh_topk": f"""
+            WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            b AS (
+              SELECT id, p,
+                     list_sum(list_transform(generate_series(1, len(v)),
+                       d -> v[d] * ({_W_PD} / 1000000.0 - 0.5))) AS s
+              FROM e CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS p) ps
+            ),
+            bk AS (
+              SELECT id,
+                     string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, ''
+                                ORDER BY p) AS bucket
+              FROM b GROUP BY id
+            ),
+            sc AS (
+              SELECT q.id AS q_id, c.id AS cand_id,
+                     CAST(round(list_dot_product(qe.v, ce.v) * 10000) AS BIGINT)
+                       AS score_e4
+              FROM bk q JOIN bk c ON q.bucket = c.bucket AND q.id <> c.id
+              JOIN e qe ON qe.id = q.id JOIN e ce ON ce.id = c.id
+              WHERE q.id < 10
+            ),
+            r AS (
+              SELECT q_id, cand_id, score_e4,
+                     row_number() OVER (PARTITION BY q_id
+                                        ORDER BY score_e4 DESC, cand_id) AS rnk
+              FROM sc
+            )
+            SELECT q_id, rnk::INTEGER AS rank, cand_id, score_e4
+            FROM r WHERE rnk <= 5
         """,
         "ann_ivf_topk": """
             WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
