@@ -142,34 +142,70 @@ def merge_into_store(spark: SparkSession, path: str, delta: DataFrame) -> list[s
     ]
     if not keys:
         return []
+    merged = apply_update(_read_partitions(spark, path, keys), delta)
+    _staged_swap(spark, path, keys, merged)
+    return keys
 
-    sc = spark.sparkContext
+
+def compact_store(
+    spark: SparkSession, path: str, keys: list[str] | None = None
+) -> list[str]:
+    """Rewrite each listed (default: every) graph partition into ONE file.
+    A merge writes one file per (task, graph), so merge churn leaves many
+    small files per partition; compaction restores scan efficiency with
+    byte-identical content, using the same partition-pruned read and
+    staged-swap commit as the merge itself. Returns the compacted keys."""
+    fs, HPath = _store_fs(spark, path)
+    if keys is None:
+        keys = [
+            st.getPath().getName().split("=", 1)[1]
+            for st in fs.listStatus(HPath(path))
+            if st.isDirectory() and st.getPath().getName().startswith(f"{_GPART}=")
+        ]
+    if not keys:
+        return []
+    frame = _read_partitions(spark, path, keys).repartition(
+        max(len(keys), 1), F.col("g")
+    )
+    _staged_swap(spark, path, keys, frame)
+    return keys
+
+
+def _store_fs(spark: SparkSession, path: str):
     HPath = spark._jvm.org.apache.hadoop.fs.Path
-    fs = HPath(path).getFileSystem(sc._jsc.hadoopConfiguration())
+    fs = HPath(path).getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, HPath
 
-    # read ONLY the touched partitions: a literal IN-filter on the partition
-    # column prunes at planning time (PartitionFilters in the scan node)
+
+def _read_partitions(spark: SparkSession, path: str, keys: list[str]) -> DataFrame:
+    """Read ONLY the listed partitions: a literal IN-filter on the partition
+    column prunes at planning time (PartitionFilters in the scan node)."""
+    fs, HPath = _store_fs(spark, path)
     existing = [k for k in keys if fs.exists(HPath(f"{path}/{_GPART}={k}"))]
-    if existing:
-        touched_store = (
-            spark.read.schema(_STORE_SCHEMA).parquet(path)
-            .filter(F.col(_GPART).isin(existing))
-            .select("s", "p", "o", "g")
-        )
-    else:
-        touched_store = spark.createDataFrame(
+    if not existing:
+        return spark.createDataFrame(
             [], "s string, p string, o string, g string"
         )
-    merged = apply_update(touched_store, delta)
-
-    staging = f"{path}/.merge-staging-{uuid.uuid4().hex}"
-    (
-        merged.select("s", "p", "o", "g", _gpart().alias(_GPART))
-        .write.mode("overwrite").partitionBy(_GPART).parquet(staging)
+    return (
+        spark.read.schema(_STORE_SCHEMA).parquet(path)
+        .filter(F.col(_GPART).isin(existing))
+        .select("s", "p", "o", "g")
     )
 
-    # swap: delete each touched partition dir, move in its staged replacement
-    # (absent staged dir = every row of that partition was deleted)
+
+def _staged_swap(
+    spark: SparkSession, path: str, keys: list[str], frame: DataFrame
+) -> None:
+    """Write ``frame`` (s,p,o,g) gpart-partitioned into a staging dir, then
+    swap the listed partition dirs in (delete old, rename staged). A crash
+    before the swap leaves the store intact; absent staged dir = every row
+    of that partition was deleted."""
+    fs, HPath = _store_fs(spark, path)
+    staging = f"{path}/.merge-staging-{uuid.uuid4().hex}"
+    (
+        frame.select("s", "p", "o", "g", _gpart().alias(_GPART))
+        .write.mode("overwrite").partitionBy(_GPART).parquet(staging)
+    )
     for k in keys:
         dst = HPath(f"{path}/{_GPART}={k}")
         src = HPath(f"{staging}/{_GPART}={k}")
@@ -178,4 +214,3 @@ def merge_into_store(spark: SparkSession, path: str, delta: DataFrame) -> list[s
         if fs.exists(src):
             fs.rename(src, dst)
     fs.delete(HPath(staging), True)
-    return keys

@@ -134,3 +134,29 @@ def test_empty_delta_is_noop(spark, store):
     )
     assert keys == []
     assert {g: part_files(store, g) for g in (G1, G2, G3)} == before
+
+
+def test_compact_store_single_file_per_partition(spark, store):
+    # merges/writes leave one file per (task, graph); force a fragmented
+    # partition by merging extra rows into g2
+    delta = spark.createDataFrame(
+        [("insert", f"<http://n/{i}>", "<http://p>", f"<http://m/{i}>", G2)
+         for i in range(6)],
+        DELTA_SCHEMA,
+    )
+    U.merge_into_store(spark, store, delta.repartition(4))
+    before = quadset(U.read_quad_store(spark, store))
+    g1_files = part_files(store, G1)
+
+    keys = U.compact_store(spark, store, keys=[gpart(G2)])
+    assert keys == [gpart(G2)]
+    # exactly one data file remains in the compacted partition
+    assert len(part_files(store, G2)) == 1
+    # untouched partition intact, content byte-identical
+    assert part_files(store, G1) == g1_files
+    assert quadset(U.read_quad_store(spark, store)) == before
+
+    # compact-all discovers every partition
+    all_keys = U.compact_store(spark, store)
+    assert set(all_keys) >= {gpart(G1), gpart(G2), gpart(G3)}
+    assert quadset(U.read_quad_store(spark, store)) == before
