@@ -107,3 +107,31 @@ def test_term_predicates(spark):
         (True, False, False), (False, True, False), (False, False, True),
         (True, False, False), (False, False, False), (False, False, False),
     ]
+
+
+def test_encode_uri_component_bulk_parity(spark):
+    """Bulk parity vs Python's quote(safe="-_.!~*'()") (the
+    encodeURIComponent contract) over a seeded random corpus — breadth
+    beyond the hand-computed vectors above, including multi-byte UTF-8,
+    spaces, '+' and every ASCII punctuation class; also round-trips through
+    decode_uri_component."""
+    import random
+    import urllib.parse
+
+    rng = random.Random(20260817)
+    alphabet = (
+        "abcXYZ012 +/?#[]@!$&'()*,;=%<>\"\\^`{}|~-_.\u00e9\u4e2d\U0001f600"
+    )
+    samples = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 24)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "v string")
+    got = (
+        df.select("v", T.encode_uri_component(F.col("v")).alias("e"))
+        .withColumn("d", T.decode_uri_component(F.col("e")))
+        .collect()
+    )
+    for r in got:
+        assert r["e"] == urllib.parse.quote(r["v"], safe="-_.!~*'()"), r["v"]
+        assert r["d"] == r["v"], r["v"]
