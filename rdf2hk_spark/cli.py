@@ -205,7 +205,7 @@ def build_parser() -> argparse.ArgumentParser:
         help="RDF -> HK -> RDF round-trip with DefaultConversionOptions",
     )
     u.add_argument("input")
-    u.add_argument("output", help="output directory (N-Quads lines)")
+    u.add_argument("output", help="output directory (TriG lines)")
     u.add_argument("--mime", default="application/trig")
     u.set_defaults(fn=cmd_pure)
     return p

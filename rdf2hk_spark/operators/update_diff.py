@@ -89,6 +89,10 @@ def apply_update(quad_store: DataFrame, delta: DataFrame) -> DataFrame:
 
 _GPART = "gpart"
 
+# Spark writes rows whose partition value is NULL (null graph ⇒ null md5)
+# into this directory; the key needs isNull() handling, not string equality
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
 # explicit read schema: partition-column TYPE INFERENCE would parse an
 # all-digit (or digits+'e') md5 hex key as a number, breaking the string
 # isin() pruning filter — zero rows read, merge silently drops the
@@ -137,7 +141,7 @@ def merge_into_store(spark: SparkSession, path: str, delta: DataFrame) -> list[s
     partition and inserts into the new one, both of which are in the delta's
     touched set by construction (update_quads emits both sides)."""
     keys = [
-        r[_GPART]
+        r[_GPART] if r[_GPART] is not None else _HIVE_NULL
         for r in delta.select(_gpart().alias(_GPART)).distinct().collect()
     ]
     if not keys:
@@ -156,17 +160,22 @@ def compact_store(
     byte-identical content, using the same partition-pruned read and
     staged-swap commit as the merge itself. Returns the compacted keys."""
     fs, HPath = _store_fs(spark, path)
+    if not fs.exists(HPath(path)):
+        return []  # nothing to compact (maintenance job before first merge)
     if keys is None:
         keys = [
             st.getPath().getName().split("=", 1)[1]
             for st in fs.listStatus(HPath(path))
             if st.isDirectory() and st.getPath().getName().startswith(f"{_GPART}=")
         ]
+        assume_exists = True  # just listed — skip the per-key fs round-trips
+    else:
+        assume_exists = False
     if not keys:
         return []
-    frame = _read_partitions(spark, path, keys).repartition(
-        max(len(keys), 1), F.col("g")
-    )
+    frame = _read_partitions(
+        spark, path, keys, assume_exists=assume_exists
+    ).repartition(max(len(keys), 1), F.col("g"))
     _staged_swap(spark, path, keys, frame)
     return keys
 
@@ -177,18 +186,31 @@ def _store_fs(spark: SparkSession, path: str):
     return fs, HPath
 
 
-def _read_partitions(spark: SparkSession, path: str, keys: list[str]) -> DataFrame:
+def _read_partitions(
+    spark: SparkSession, path: str, keys: list[str], assume_exists: bool = False
+) -> DataFrame:
     """Read ONLY the listed partitions: a literal IN-filter on the partition
-    column prunes at planning time (PartitionFilters in the scan node)."""
+    column prunes at planning time (PartitionFilters in the scan node).
+    The ``_HIVE_NULL`` key selects the null-graph partition via isNull()
+    (a string equality would NULL out and silently read zero rows).
+    ``assume_exists`` skips the per-key fs.exists probes when the caller
+    just listed the directories (one py4j round-trip per key otherwise)."""
     fs, HPath = _store_fs(spark, path)
-    existing = [k for k in keys if fs.exists(HPath(f"{path}/{_GPART}={k}"))]
+    existing = (
+        list(keys)
+        if assume_exists
+        else [k for k in keys if fs.exists(HPath(f"{path}/{_GPART}={k}"))]
+    )
     if not existing:
         return spark.createDataFrame(
             [], "s string, p string, o string, g string"
         )
+    cond = F.col(_GPART).isin([k for k in existing if k != _HIVE_NULL])
+    if _HIVE_NULL in existing:
+        cond = cond | F.col(_GPART).isNull()
     return (
         spark.read.schema(_STORE_SCHEMA).parquet(path)
-        .filter(F.col(_GPART).isin(existing))
+        .filter(cond)
         .select("s", "p", "o", "g")
     )
 

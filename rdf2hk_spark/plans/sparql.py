@@ -187,10 +187,20 @@ class Query:
     template: list["Pattern"] = field(default_factory=list)  # construct
 
 
+_MAX_DEPTH = 200
+
+
 class _Parser:
     def __init__(self, toks: list[tuple[str, str]]):
         self.toks = toks
         self.i = 0
+        self.depth = 0  # group/paren nesting — bounded so hostile input
+        # raises SparqlSyntaxError, not RecursionError (totality contract)
+
+    def _enter(self) -> None:
+        self.depth += 1
+        if self.depth > _MAX_DEPTH:
+            raise SparqlSyntaxError(f"nesting deeper than {_MAX_DEPTH}")
 
     def peek(self) -> tuple[str, str]:
         return self.toks[self.i] if self.i < len(self.toks) else ("eof", "")
@@ -216,7 +226,17 @@ class _Parser:
     # ---- query ----
     def query(self) -> Query:
         if self.kw("ASK"):
-            return Query([], False, [], self.group(), [], None, form="ask")
+            # ASK [FROM <g>]* [WHERE] { ... }
+            from_graphs: list[str] = []
+            while self.kw("FROM"):
+                from_graphs.append(self.expect("iri"))
+            self.kw("WHERE")  # optional keyword per the SPARQL grammar
+            g = self.group()
+            if self.peek()[0] != "eof":
+                raise SparqlSyntaxError(
+                    f"trailing tokens at {self.peek()[1]!r}"
+                )
+            return Query([], False, from_graphs, g, [], None, form="ask")
         if self.kw("DESCRIBE"):
             return self._describe()
         if self.kw("CONSTRUCT"):
@@ -312,12 +332,14 @@ class _Parser:
 
     # ---- group ----
     def group(self) -> Group:
+        self._enter()
         self.expect("punct", "{")
         g = Group()
         while True:
             k, v = self.peek()
             if (k, v) == ("punct", "}"):
                 self.next()
+                self.depth -= 1
                 return g
             if k == "eof":
                 raise SparqlSyntaxError("unterminated group")
@@ -395,10 +417,14 @@ class _Parser:
         return e
 
     def expr_not(self) -> Expr:
-        if self.peek() == ("punct", "!"):
+        # iterative, with parity collapse (!!x = x) — a hostile run of '!'
+        # can neither recurse the parser nor nest the compiled Expr tree
+        negate = False
+        while self.peek() == ("punct", "!"):
             self.next()
-            return Expr("not", [self.expr_not()])
-        return self.expr_cmp()
+            negate = not negate
+        e = self.expr_cmp()
+        return Expr("not", [e]) if negate else e
 
     def _operand(self):
         k, v = self.peek()
@@ -423,9 +449,11 @@ class _Parser:
     def expr_cmp(self) -> Expr:
         k, v = self.peek()
         if (k, v) == ("punct", "("):
+            self._enter()
             self.next()
             e = self.expr()
             self.expect("punct", ")")
+            self.depth -= 1
             return e
         if k == "word" and v.upper() == "REGEX":
             self.next()
@@ -485,13 +513,18 @@ def _operand_col(operand, frame_cols: set[str]):
     return F.lit(v), False
 
 
-def _compile_expr(e: Expr, frame_cols: set[str]) -> Column:
+def _compile_expr(e: Expr, frame_cols: set[str], _depth: int = 0) -> Column:
+    if _depth > _MAX_DEPTH:
+        # long || / && chains parse iteratively but nest the Expr tree —
+        # bound the compiler the same way the parser bounds groups/parens
+        raise SparqlSyntaxError(f"FILTER expression deeper than {_MAX_DEPTH}")
+    d = _depth + 1
     if e.op == "and":
-        return _compile_expr(e.args[0], frame_cols) & _compile_expr(e.args[1], frame_cols)
+        return _compile_expr(e.args[0], frame_cols, d) & _compile_expr(e.args[1], frame_cols, d)
     if e.op == "or":
-        return _compile_expr(e.args[0], frame_cols) | _compile_expr(e.args[1], frame_cols)
+        return _compile_expr(e.args[0], frame_cols, d) | _compile_expr(e.args[1], frame_cols, d)
     if e.op == "not":
-        return ~_compile_expr(e.args[0], frame_cols)
+        return ~_compile_expr(e.args[0], frame_cols, d)
     if e.op == "bound":
         var = e.args[0]
         return F.col(var).isNotNull() if var in frame_cols else F.lit(False)
@@ -507,7 +540,7 @@ def _compile_expr(e: Expr, frame_cols: set[str]) -> Column:
         out = F.lit(False)
         for operand in e.args[1]:
             out = out | _compile_expr(
-                Expr("cmp", ["=", e.args[0], operand]), frame_cols
+                Expr("cmp", ["=", e.args[0], operand]), frame_cols, d
             )
         return out
     if e.op == "cmp":
@@ -621,18 +654,28 @@ def set_filter_from(text: str, named_graph: str) -> str:
     is parse-validated with this module's grammar, then the clause is
     inserted before the WHERE keyword found via the TOKEN stream — a plain
     regex could match 'WHERE' inside an IRI or literal)."""
-    parse_sparql(text)  # validate first — raises on unsupported syntax
+    q = parse_sparql(text)  # validate first — raises on unsupported syntax
     iri = named_graph if named_graph.startswith("<") else f"<{named_graph}>"
+    # the '{' fallback serves WHERE-less ASK; in CONSTRUCT the first brace
+    # is the TEMPLATE, so only the WHERE keyword is a valid anchor there
+    allow_brace = q.form == "ask"
     pos = 0
     while pos < len(text):
         m = _TOKEN_RE.match(text, pos)
         if m is None or m.end() == pos:
             break
-        if m.lastgroup == "word" and m.group("word").upper() == "WHERE":
-            at = m.start("word")
+        if (m.lastgroup == "word" and m.group("word").upper() == "WHERE") or (
+            allow_brace
+            and m.lastgroup == "punct"
+            and m.group("punct") == "{"
+        ):
+            at = m.start(m.lastgroup)
             return text[:at] + f"FROM {iri} " + text[at:]
         pos = m.end()
-    raise SparqlSyntaxError("no WHERE clause to scope")
+    if q.form == "describe" and q.where is None:
+        # DESCRIBE <iri> — the dataset clause legally trails the terms
+        return f"{text.rstrip()} FROM {iri}"
+    raise SparqlSyntaxError("no WHERE clause or group to scope")
 
 
 def run_sparql(quads: DataFrame, text: str, hide_hk: bool = False) -> DataFrame:
@@ -695,6 +738,13 @@ def run_sparql(quads: DataFrame, text: str, hide_hk: bool = False) -> DataFrame:
         if frame is None:
             raise SparqlSyntaxError("empty WHERE group")
         cols = set(frame.columns)
+        # fresh blank node per SOLUTION per template label (SPARQL CONSTRUCT
+        # semantics): _:x in the template becomes _:md5(label + the whole
+        # binding row) — same label in one solution shares, distinct
+        # solutions get distinct nodes, deterministic across engines
+        binding_sig = F.concat_ws(
+            "\x00", *[F.coalesce(F.col(c), F.lit("\x01")) for c in sorted(cols)]
+        )
         out = None
         for pat in q.template:
             exprs = []
@@ -706,6 +756,18 @@ def run_sparql(quads: DataFrame, text: str, hide_hk: bool = False) -> DataFrame:
                             f"CONSTRUCT template variable ?{var} not bound"
                         )
                     exprs.append(F.col(var).alias(pos))
+                elif term.startswith("_:"):
+                    exprs.append(
+                        F.concat(
+                            F.lit("_:"),
+                            F.md5(
+                                F.encode(
+                                    F.concat(F.lit(term + "|"), binding_sig),
+                                    "UTF-8",
+                                )
+                            ),
+                        ).alias(pos)
+                    )
                 else:
                     exprs.append(F.lit(term).alias(pos))
             branch = frame.select(*exprs)

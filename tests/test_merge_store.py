@@ -160,3 +160,35 @@ def test_compact_store_single_file_per_partition(spark, store):
     all_keys = U.compact_store(spark, store)
     assert set(all_keys) >= {gpart(G1), gpart(G2), gpart(G3)}
     assert quadset(U.read_quad_store(spark, store)) == before
+
+
+def test_null_graph_partition_survives_merge_and_compaction(spark, tmp_path):
+    """g=NULL rows land in the __HIVE_DEFAULT_PARTITION__ directory; the
+    pruning filter must select them via isNull(), not string equality —
+    otherwise a routine compaction or merge silently deletes them."""
+    path = str(tmp_path / "nstore")
+    rows = [
+        ("<http://a>", "<http://p>", "<http://b>", None),
+        ("<http://c>", "<http://p>", "<http://d>", G1),
+    ]
+    U.write_quad_store(spark.createDataFrame(rows, QUAD_SCHEMA), path)
+    before = quadset(U.read_quad_store(spark, path))
+    assert ("<http://a>", "<http://p>", "<http://b>", None) in before
+
+    # compaction across all partitions keeps the null-graph rows
+    U.compact_store(spark, path)
+    assert quadset(U.read_quad_store(spark, path)) == before
+
+    # a merge touching the null graph reads and rewrites it correctly
+    delta = spark.createDataFrame(
+        [("insert", "<http://e>", "<http://p>", "<http://f>", None)],
+        DELTA_SCHEMA,
+    )
+    keys = U.merge_into_store(spark, path, delta)
+    assert keys == [U._HIVE_NULL]
+    got = quadset(U.read_quad_store(spark, path))
+    assert ("<http://a>", "<http://p>", "<http://b>", None) in got
+    assert ("<http://e>", "<http://p>", "<http://f>", None) in got
+
+    # compaction of a path that does not exist is a no-op
+    assert U.compact_store(spark, str(tmp_path / "missing")) == []

@@ -378,3 +378,80 @@ class TestOtherForms:
                 "CONSTRUCT { ?z <http://p/x> ?x } WHERE"
                 " { ?x <http://p/knows> ?y }",
             ).collect()
+
+
+class TestSecondReviewRegressions:
+    """Second self-review round: ASK grammar/trailing tokens, hostile
+    nesting, CONSTRUCT bnode freshness, set_filter_from form handling."""
+
+    def test_ask_where_and_from(self, quads):
+        out = run_sparql(quads, "ASK WHERE { ?s <http://p/knows> ?o }")
+        assert [r["ask"] for r in out.collect()] == [True]
+        scoped = run_sparql(
+            quads, "ASK FROM <http://g/2> WHERE { ?s <http://p/name> ?n }"
+        )
+        assert [r["ask"] for r in scoped.collect()] == [False]  # names in g1
+
+    def test_ask_trailing_tokens_raise(self, quads):
+        with pytest.raises(SparqlSyntaxError):
+            run_sparql(quads, "ASK { ?s ?p ?o } LIMIT 5 junk")
+
+    @pytest.mark.parametrize(
+        "hostile",
+        [
+            "SELECT ?x WHERE " + "{" * 500,
+            "SELECT ?x WHERE { ?x ?p ?o . FILTER(" + "(" * 500 + "?x = 1",
+        ],
+    )
+    def test_hostile_nesting_raises_syntax_error(self, quads, hostile):
+        with pytest.raises(SparqlSyntaxError):
+            parse_sparql(hostile)
+
+    def test_not_chain_collapses_by_parity(self, quads):
+        """A '!' run is iterative + parity-collapsed: cheap to parse, shallow
+        to compile, and !! = identity."""
+        q = parse_sparql(
+            "SELECT ?x WHERE { ?x ?p ?o . FILTER(" + "!" * 5001 + "BOUND(?x)) }"
+        )
+        assert q.variables == ["x"]  # parsed fine — 5001 '!' = one not
+        out = run_sparql(
+            quads,
+            "SELECT ?x WHERE { ?x <http://p/age> ?a . FILTER(!!(?a >= 18)) }",
+        )
+        assert rows(out) == [("<http://e/a>",)]
+
+    def test_deep_or_chain_compile_bounded(self, quads):
+        text = (
+            "SELECT ?x WHERE { ?x <http://p/knows> ?y . FILTER("
+            + " || ".join(["?x = <http://e/zz>"] * 300)
+            + ") }"
+        )
+        with pytest.raises(SparqlSyntaxError):
+            run_sparql(quads, text)
+
+    def test_construct_fresh_bnode_per_solution(self, quads):
+        out = run_sparql(
+            quads,
+            "CONSTRUCT { ?x <http://p/attr> _:b } WHERE"
+            " { ?x <http://p/knows> ?y }",
+        )
+        rows_ = out.collect()
+        bnodes = {r["o"] for r in rows_}
+        subjects = {r["s"] for r in rows_}
+        assert len(bnodes) == len(subjects) == 3  # one fresh node per solution
+        assert all(b.startswith("_:") for b in bnodes)
+
+    def test_set_filter_from_ask_and_construct(self, quads):
+        from rdf2hk_spark.plans.sparql import set_filter_from
+
+        a = set_filter_from("ASK { ?s <http://p/knows> ?o }", "<http://g/2>")
+        assert a.startswith("ASK FROM <http://g/2> {")
+        assert [r["ask"] for r in run_sparql(quads, a).collect()] == [True]
+        c = set_filter_from(
+            "CONSTRUCT { ?x <http://p/a> ?y } WHERE { ?x <http://p/knows> ?y }",
+            "<http://g/2>",
+        )
+        # inserted before WHERE, NOT before the template brace
+        assert "} FROM <http://g/2> WHERE {" in " ".join(c.split())
+        got = {tuple(r) for r in run_sparql(quads, c).collect()}
+        assert got == {("<http://e/x>", "<http://p/a>", "<http://e/y>")}
