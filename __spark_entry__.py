@@ -441,11 +441,30 @@ def q_kg_text_literal_links(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_kg_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8 title selection over the corpus nodes: rdfs:label by language rank
-    (nations @en, regions plain), label-from-uri fallback for the rest."""
+    (nations @en, regions plain), label-from-uri fallback for the rest, PLUS
+    per-region entities titled ONLY via the DCTERMS slot
+    (<http://purl.org/dc/elements/1.1/title>, dcterms.js:8) — if the engine's
+    TITLE_PROPERTIES carried any other IRI in that slot, these rows would
+    fall through to the URI-label fallback and flip the hash."""
+    from rdf2hk_spark import vocab
     from rdf2hk_spark.functions.titles import entity_title
 
     e = _entities(spark, sf_dir)
-    return entity_title(e.filter(F.col("type") == C.NODE)).select("id", "title")
+    rk = F.col("r_regionkey").cast("string")
+    dct = spark.read.parquet(f"{sf_dir}/region.parquet").select(
+        F.concat(F.lit("<urn:hk:dct/"), rk, F.lit(">")).alias("id"),
+        F.lit(C.NODE).alias("type"),
+        F.lit(None).cast("string").alias("ref"),
+        F.create_map(
+            F.lit(vocab.DC_TITLE_URI),
+            F.array(F.concat(F.lit("dct title "), rk)),
+        ).alias("properties"),
+    )
+    return (
+        entity_title(e.filter(F.col("type") == C.NODE))
+        .select("id", "title")
+        .unionByName(entity_title(dct).select("id", "title"))
+    )
 
 
 def q_kg_context_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1141,6 +1160,10 @@ def oracle_sql() -> dict[str, str]:
               ON np.id = '<urn:hk:nation/' || n.n_nationkey || '>'
             LEFT JOIN region r
               ON np.id = '<urn:hk:region/' || r.r_regionkey || '>'
+            UNION ALL
+            SELECT '<urn:hk:dct/' || r_regionkey || '>' AS id,
+                   'dct title ' || r_regionkey AS title
+            FROM region
         """,
         "kg_context_closure": """
             SELECT '<urn:hk:ctx/r/1>' AS id

@@ -81,6 +81,14 @@ def _parse(quads: DataFrame, args: argparse.Namespace) -> DataFrame:
         convert_hk=args.convert_hk,
         text_literal_as_node=args.text_literal_as_node,
     )
+    if args.convert_owl and args.convert_time:
+        # the reference CLIs wire exactly one parser plugin per invocation
+        # (rdf2hk.js options are mutually exclusive); silently preferring one
+        # flag would ignore the other with no diagnostic
+        raise SystemExit(
+            "--convert-owl and --convert-time are mutually exclusive; "
+            "pass at most one parser plugin"
+        )
     if args.convert_owl:
         from rdf2hk_spark.operators.owl import parse_with_simple_owl
 

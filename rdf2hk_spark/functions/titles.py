@@ -6,16 +6,20 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from rdf2hk_spark import constants as C
+from rdf2hk_spark import vocab
 from rdf2hk_spark.functions import terms as T
 
-# utils.js:34-44 LIST_OF_PROPERTIES, in priority order
+# utils.js:34-44 LIST_OF_PROPERTIES, in priority order. The DCTERMS slot is
+# vocab.DC_TITLE_URI = <http://purl.org/dc/elements/1.1/title>: the
+# reference's dcterms.js:8 module is NAMED dcterms but holds the dc/elements
+# IRI — matching the constant, not the module name, is the parity that counts.
 TITLE_PROPERTIES = [
-    "<http://www.w3.org/2004/02/skos/core#prefLabel>",
-    "<http://www.w3.org/2004/02/skos/core#altLabel>",
+    vocab.SKOS_PREF_LABEL_URI,
+    vocab.SKOS_ALT_LABEL_URI,
     "<http://www.w3.org/2000/01/rdf-schema#label>",
-    "<http://xmlns.com/foaf/0.1/name>",
-    "<http://xmlns.com/foaf/0.1/nick>",
-    "<http://purl.org/dc/terms/title>",
+    vocab.FOAF_NAME_URI,
+    vocab.FOAF_NICK_URI,
+    vocab.DC_TITLE_URI,
     "title",
     "rdfs:label",
 ]

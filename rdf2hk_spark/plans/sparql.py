@@ -589,6 +589,18 @@ def _join(left: DataFrame | None, right: DataFrame, how: str = "inner") -> DataF
     shared = [c for c in left.columns if c in right.columns]
     if shared:
         return left.join(right, shared, how)
+    if how == "left":
+        # OPTIONAL must be handled BEFORE the zero-column existence branches:
+        # a left_semi there would DROP every solution when a fully-ground
+        # OPTIONAL pattern has no match — SPARQL keeps all rows.
+        if not right.columns:
+            # ground OPTIONAL: binds nothing and never eliminates — whether
+            # the pattern matched or not, every left solution survives as-is
+            return left
+        # OPTIONAL sharing no variables: LeftJoin with disjoint domains —
+        # extend every solution with the optional bindings (cross product),
+        # but keep left rows (null-extended) when the optional side is empty
+        return left.join(right, F.lit(True), "left")
     if not right.columns:
         # fully-ground pattern: an EXISTENCE condition, not a multiplier —
         # semi-join on TRUE keeps each left row iff the pattern matched
@@ -598,11 +610,6 @@ def _join(left: DataFrame | None, right: DataFrame, how: str = "inner") -> DataF
     if not left.columns:
         # ground pattern came FIRST: same existence semantics, mirrored
         return right.join(left, F.lit(True), "left_semi")
-    if how == "left":
-        # OPTIONAL sharing no variables: LeftJoin with disjoint domains —
-        # extend every solution with the optional bindings (cross product),
-        # but keep left rows (null-extended) when the optional side is empty
-        return left.join(right, F.lit(True), "left")
     return left.crossJoin(right)
 
 

@@ -96,6 +96,22 @@ def test_unsupported_mime_exits(spark, tmp_path):
         )
 
 
+def test_conflicting_parser_plugins_exit(spark, tmp_path):
+    # --convert-owl + --convert-time: at most one parser plugin per run —
+    # silently preferring one flag would ignore the other with no diagnostic
+    src = tmp_path / "in.nq"
+    src.write_text("<http://e/a> <http://p/r> <http://e/b> .\n")
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        cli.main(
+            [
+                "rdf2hk", str(src), str(tmp_path / "out.json"),
+                "--mime", "application/n-quads",
+                "--convert-owl", "--convert-time",
+            ],
+            spark=spark,
+        )
+
+
 def test_pure_roundtrip_cli(spark, tmp_path):
     """S9 purerdf2hkrdf.js: parse -> serialize with DefaultConversionOptions;
     convertHK+compressReification output re-parses to the same entities."""

@@ -281,6 +281,28 @@ class TestReviewRegressions:
         )
         assert out3.count() == 0
 
+    def test_ground_optional_keeps_all_solutions(self, quads):
+        # OPTIONAL over a fully-ground pattern binds nothing and must never
+        # eliminate solutions — whether the ground triple exists or not
+        # (regression: the zero-column existence semi-join used to run first
+        # and dropped every row when the ground OPTIONAL had no match)
+        base = "SELECT ?x ?y WHERE { ?x <http://p/knows> ?y . OPTIONAL { %s } }"
+        expected = [
+            ("<http://e/a>", "<http://e/b>"),
+            ("<http://e/b>", "<http://e/c>"),
+            ("<http://e/x>", "<http://e/y>"),
+        ]
+        # non-matching ground OPTIONAL: all rows kept
+        out = run_sparql(
+            quads, base % "<http://e/a> <http://p/knows> <http://e/NO>"
+        )
+        assert rows(out) == expected
+        # matching ground OPTIONAL: identical result (no multiplication)
+        out2 = run_sparql(
+            quads, base % "<http://e/a> <http://p/knows> <http://e/b>"
+        )
+        assert rows(out2) == expected
+
     def test_uchar_escapes_decode(self, quads, spark):
         q2 = spark.createDataFrame(
             [(0, "<http://e/a>", "<http://p/name>", '"Q!"', G1)], QUAD_SCHEMA
