@@ -751,6 +751,55 @@ def q_kg_sparql_construct(spark, sf_dir):
     )
 
 
+def q_kg_sparql_path(spark, sf_dir):
+    """Q10 property path: ``?c <hasParent>* <ctx/r/1>`` over the synthetic
+    region→nation context tree (the reference's own generated form,
+    sparqlfactory.js:800) — the same membership set the kg_context_closure
+    oracle derives, here reached through the SPARQL text surface."""
+    from rdf2hk_spark.plans.sparql import run_sparql
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    nk = F.col("n_nationkey").cast("string")
+    rk = F.col("r_regionkey").cast("string")
+    p = F.lit("<urn:hk:p/hasParent>")
+    g = F.lit("<urn:hk:g/ctx>")
+    quads = nation.select(
+        F.col("n_nationkey").cast("long").alias("stmt_idx"),
+        F.concat(F.lit("<urn:hk:ctx/n/"), nk, F.lit(">")).alias("s"),
+        p.alias("p"),
+        F.concat(
+            F.lit("<urn:hk:ctx/r/"), F.col("n_regionkey").cast("string"),
+            F.lit(">"),
+        ).alias("o"),
+        g.alias("g"),
+    ).unionByName(
+        region.select(
+            (F.col("r_regionkey").cast("long") + 10_000).alias("stmt_idx"),
+            F.concat(F.lit("<urn:hk:ctx/r/"), rk, F.lit(">")).alias("s"),
+            p.alias("p"),
+            F.lit("<urn:hk:ctx/root>").alias("o"),
+            g.alias("g"),
+        )
+    )
+    return run_sparql(
+        quads,
+        "SELECT ?c WHERE { ?c <urn:hk:p/hasParent>* <urn:hk:ctx/r/1> }",
+    )
+
+
+def q_kg_sparql_agg(spark, sf_dir):
+    """Q10 aggregates: COUNT + MIN with GROUP BY through the SPARQL text
+    surface (one groupBy().agg() — map-side partial aggregation)."""
+    from rdf2hk_spark.plans.sparql import run_sparql
+
+    return run_sparql(
+        tpch_kg.quads_df(spark, sf_dir),
+        "SELECT ?r (COUNT(?n) AS ?n_nations) (MIN(?n) AS ?first_nation)"
+        " WHERE { ?n <urn:hk:p/inRegion> ?r } GROUP BY ?r",
+    )
+
+
 def q_doc_token_stats(spark, sf_dir):
     return textstats.token_stats(_docs(spark, sf_dir))
 
@@ -812,6 +861,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_select": q_kg_sparql_select,
         "kg_sparql_describe": q_kg_sparql_describe,
         "kg_sparql_construct": q_kg_sparql_construct,
+        "kg_sparql_path": q_kg_sparql_path,
+        "kg_sparql_agg": q_kg_sparql_agg,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
         "doc_langid": q_doc_langid,
@@ -1148,6 +1199,30 @@ def oracle_sql() -> dict[str, str]:
             WITH {_Q}
             SELECT DISTINCT o AS s, '<urn:hk:p/hasNation>' AS p, s AS o
             FROM quads WHERE p = '<urn:hk:p/inRegion>'
+        """,
+        "kg_sparql_path": """
+            WITH RECURSIVE edges AS (
+              SELECT '<urn:hk:ctx/n/' || n_nationkey || '>' AS src,
+                     '<urn:hk:ctx/r/' || n_regionkey || '>' AS dst
+              FROM nation
+              UNION ALL
+              SELECT '<urn:hk:ctx/r/' || r_regionkey || '>',
+                     '<urn:hk:ctx/root>'
+              FROM region
+            ),
+            reach AS (
+              SELECT '<urn:hk:ctx/r/1>' AS c
+              UNION
+              SELECT e.src FROM edges e JOIN reach r ON e.dst = r.c
+            )
+            SELECT c FROM reach
+        """,
+        "kg_sparql_agg": f"""
+            WITH {_Q}
+            SELECT o AS r, count(*)::BIGINT AS n_nations,
+                   min(s) AS first_nation
+            FROM quads WHERE p = '<urn:hk:p/inRegion>'
+            GROUP BY o
         """,
         "kg_titles": f"""
             WITH {_Q}, {_NODES_CTE}

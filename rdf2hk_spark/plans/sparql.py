@@ -22,13 +22,23 @@ algebra and compiles to a DataFrame plan:
 - literal tokens undo the reference's SPARQL string escapes (P12,
   sparqlhelper.js literal assembly) during tokenization;
 - OPTIONAL → left outer join; UNION → unionByName(allowMissingColumns);
-  SELECT [DISTINCT] / ORDER BY / LIMIT.
+  SELECT [DISTINCT] / ORDER BY / LIMIT;
+- property paths ``<p>*`` / ``<p>+`` / ``<p>?`` on a ground predicate —
+  the forms the reference's own generated SPARQL uses (``hasParent*`` at
+  sparqlfactory.js:800, ``REFERENCES_URI?`` in the delete templates at
+  sparqlfactory.js:718-744) — compile to the same frontier/semi-naive
+  fixpoint machinery as plans.query.context_closure: a bounded loop of
+  joins with localCheckpoint lineage truncation, never a driver-side walk;
+- aggregates ``COUNT([DISTINCT] ?v | *)`` / ``SUM`` / ``MIN`` / ``MAX`` /
+  ``AVG`` with ``GROUP BY`` compile to groupBy().agg() (map-side partial
+  aggregation for free). SUM/AVG decode typed-literal numeric values;
+  MIN/MAX order term strings exactly like ORDER BY does.
 
-Subset contract: SELECT queries over the forms above. Anything else
-(CONSTRUCT/ASK/DESCRIBE text, property paths, subqueries, aggregates) raises
-``SparqlSyntaxError`` — never a silently wrong answer. DESCRIBE-style
-fetches exist as ``plans.query.from_uris``; programmatic assembly (Q10) is
-the DataFrame/filter-dict API plus this text entry.
+Subset contract: SELECT / ASK / DESCRIBE / CONSTRUCT queries over the forms
+above. Anything else (sequence/alternative/inverse paths, subqueries,
+HAVING, BIND) raises ``SparqlSyntaxError`` — never a silently wrong answer.
+DESCRIBE-style fetches also exist as ``plans.query.from_uris``; programmatic
+assembly (Q10) is the DataFrame/filter-dict API plus this text entry.
 
 Term semantics: variables bind the engine's term strings (``<iri>``,
 ``_:b``, ``"lit"@lang``, ``"5"^^<dt>``). Comparisons between a variable and
@@ -63,7 +73,7 @@ _TOKEN_RE = re.compile(
       | (?P<literal>"(?:[^"\\]|\\.)*"(?:@[A-Za-z0-9-]+|\^\^<[^<>\s]*>)?)
       | (?P<bnode>_:\w+)
       | (?P<num>[+-]?\d+(?:\.\d+)?)
-      | (?P<punct>[{}().,;*]|&&|\|\||!=|<=|>=|=|<|>|!)
+      | (?P<punct>[{}().,;*+?]|&&|\|\||!=|<=|>=|=|<|>|!)
       | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
     )""",
     re.X,
@@ -136,6 +146,17 @@ class Pattern:
     s: str
     p: str
     o: str
+    path: str | None = None  # '*' | '+' | '?' path modifier on a ground p
+
+
+@dataclass
+class Aggregate:
+    """One ``(FUNC([DISTINCT] ?v|*) AS ?alias)`` projection item."""
+
+    func: str  # COUNT | SUM | MIN | MAX | AVG
+    distinct: bool
+    arg: str | None  # variable name, or None for COUNT(*)
+    alias: str
 
 
 @dataclass
@@ -185,6 +206,10 @@ class Query:
     form: str = "select"  # select | ask | describe | construct
     describe_terms: list[str] = field(default_factory=list)  # ?var or <iri>
     template: list["Pattern"] = field(default_factory=list)  # construct
+    # aggregate surface: SELECT items in source order — ("var", name) or
+    # ("agg", Aggregate) — plus the GROUP BY variable list
+    select_items: list[tuple] = field(default_factory=list)
+    group_by: list[str] = field(default_factory=list)
 
 
 _MAX_DEPTH = 200
@@ -249,18 +274,33 @@ class _Parser:
             )
         distinct = self.kw("DISTINCT")
         variables: list[str] = []
+        select_items: list[tuple] = []
         if self.peek() == ("punct", "*"):
             self.next()
         else:
-            while self.peek()[0] == "var":
-                variables.append(self.next()[1][1:])
-            if not variables:
+            while True:
+                k, v = self.peek()
+                if k == "var":
+                    variables.append(self.next()[1][1:])
+                    select_items.append(("var", variables[-1]))
+                elif (k, v) == ("punct", "("):
+                    select_items.append(("agg", self._aggregate()))
+                else:
+                    break
+            if not select_items:
                 raise SparqlSyntaxError("SELECT needs variables or *")
         from_graphs: list[str] = []
         while self.kw("FROM"):
             from_graphs.append(self.expect("iri"))
         self.expect("word", "WHERE")
         where = self.group()
+        group_by: list[str] = []
+        if self.kw("GROUP"):
+            self.expect("word", "BY")
+            while self.peek()[0] == "var":
+                group_by.append(self.next()[1][1:])
+            if not group_by:
+                raise SparqlSyntaxError("GROUP BY needs at least one variable")
         order: list[tuple[str, bool]] = []
         if self.kw("ORDER"):
             self.expect("word", "BY")
@@ -285,7 +325,37 @@ class _Parser:
             limit = int(raw)
         if self.peek()[0] != "eof":
             raise SparqlSyntaxError(f"trailing tokens at {self.peek()[1]!r}")
-        return Query(variables, distinct, from_graphs, where, order, limit)
+        return Query(
+            variables, distinct, from_graphs, where, order, limit,
+            select_items=select_items, group_by=group_by,
+        )
+
+    _AGG_FUNCS = ("COUNT", "SUM", "MIN", "MAX", "AVG")
+
+    def _aggregate(self) -> Aggregate:
+        """'(' FUNC '(' [DISTINCT] (?var|*) ')' AS ?alias ')'."""
+        self.expect("punct", "(")
+        k, v = self.next()
+        if k != "word" or v.upper() not in self._AGG_FUNCS:
+            raise SparqlSyntaxError(
+                f"expected an aggregate function {self._AGG_FUNCS}, got {v!r}"
+            )
+        func = v.upper()
+        self.expect("punct", "(")
+        distinct = self.kw("DISTINCT")
+        arg: str | None
+        if self.peek() == ("punct", "*"):
+            if func != "COUNT":
+                raise SparqlSyntaxError(f"{func}(*) is not valid SPARQL")
+            self.next()
+            arg = None
+        else:
+            arg = self.expect("var")[1:]
+        self.expect("punct", ")")
+        self.expect("word", "AS")
+        alias = self.expect("var")[1:]
+        self.expect("punct", ")")
+        return Aggregate(func, distinct, arg, alias)
 
     def _describe(self) -> Query:
         """DESCRIBE (?var | <iri>)+ [FROM <g>]* [WHERE group] — the form
@@ -314,7 +384,7 @@ class _Parser:
         self.expect("punct", "{")
         template: list[Pattern] = []
         while self.peek() != ("punct", "}"):
-            template.append(self.pattern())
+            template.append(self.pattern(allow_path=False))
             if self.peek() == ("punct", "."):
                 self.next()
         self.next()
@@ -391,7 +461,7 @@ class _Parser:
             return RDF_TYPE
         raise SparqlSyntaxError(f"expected an RDF term, got {v!r}")
 
-    def pattern(self) -> Pattern:
+    def pattern(self, allow_path: bool = True) -> Pattern:
         def part() -> str:
             k, v = self.peek()
             if k == "var":
@@ -399,7 +469,23 @@ class _Parser:
                 return v
             return self._term_token()
 
-        return Pattern(part(), part(), part())
+        s = part()
+        p = part()
+        path = None
+        if self.peek()[0] == "punct" and self.peek()[1] in ("*", "+", "?"):
+            # path modifier on the predicate: <p>* / <p>+ / <p>? (a lone
+            # '?' only tokenizes as punct when no variable name follows, so
+            # `<p>? ?o` is a path and `<p> ?o` is a plain object variable)
+            if not allow_path:
+                raise SparqlSyntaxError(
+                    "property paths are not allowed in a CONSTRUCT template"
+                )
+            if p.startswith("?"):
+                raise SparqlSyntaxError(
+                    "property paths require a ground predicate"
+                )
+            path = self.next()[1]
+        return Pattern(s, p, part(), path)
 
     # ---- FILTER expressions (precedence: || < && < ! < cmp) ----
     def expr(self) -> Expr:
@@ -583,6 +669,158 @@ def _scan(quads: DataFrame, pat: Pattern) -> DataFrame:
     return out.select(*[F.col(pos).alias(var) for var, pos in cols.items()])
 
 
+# --------------------------------------------------------------------------
+# property paths: <p>* / <p>+ / <p>? compiled to bounded fixpoint joins
+# (the reference's generated hasParent* / REFERENCES_URI? forms,
+# sparqlfactory.js:718-744,800 — same machinery as plans.query's Q4 closure)
+# --------------------------------------------------------------------------
+
+_PATH_MAX_ITERS = 64
+
+
+def _realias(df: DataFrame, *cols: str) -> DataFrame:
+    """Fresh attribute ids: localCheckpoint PRESERVES exprIds, so a frame
+    checkpointed from ``edges`` would conflict with ``edges`` itself in a
+    later join ('Conflicting attributes') without this."""
+    return df.select(*[F.col(c).alias(c) for c in cols])
+
+
+def _reachable(edges: DataFrame, start: str, forward: bool) -> DataFrame:
+    """Nodes reachable from ``start`` in ≥1 step along (src, dst) edges
+    (reversed when ``forward`` is False): frontier BFS, one broadcast-sized
+    join + anti-join per hop, localCheckpoint truncating lineage so the plan
+    stays linear in depth. Depth ≤ eccentricity, hard-bounded. → (n)."""
+    spark = edges.sparkSession
+    a, b = ("src", "dst") if forward else ("dst", "src")
+    reached = spark.createDataFrame([], "n string")
+    frontier = spark.createDataFrame([(start,)], "n string")
+    prev_ckpts: list[DataFrame] = []
+    for _ in range(_PATH_MAX_ITERS):
+        new = (
+            edges.join(frontier.select(F.col("n").alias(a)), a)
+            .select(F.col(b).alias("n"))
+            .distinct()
+            .join(reached, "n", "left_anti")
+        )
+        if new.isEmpty():
+            for c in prev_ckpts[:-1]:  # keep the blocks `reached` returns
+                c.unpersist()
+            return reached
+        new_ck = new.localCheckpoint()
+        reached_ck = reached.unionByName(new_ck).localCheckpoint()
+        for c in prev_ckpts:
+            c.unpersist()
+        prev_ckpts = [new_ck, reached_ck]
+        reached = _realias(reached_ck, "n")
+        frontier = _realias(new_ck, "n")
+    raise ValueError(
+        f"property-path closure did not converge within {_PATH_MAX_ITERS} hops"
+    )
+
+
+def _closure_pairs(edges: DataFrame) -> DataFrame:
+    """All (src, dst) pairs connected by ≥1 step: semi-naive transitive
+    closure — each iteration extends only the LAST round's new pairs by one
+    edge (delta join), so iteration k discovers exactly the distance-(k+1)
+    pairs; localCheckpoint per round keeps the plan linear."""
+    paths = _realias(edges.localCheckpoint(), "src", "dst")
+    delta = paths
+    prev_ckpts: list[DataFrame] = []
+    for _ in range(_PATH_MAX_ITERS):
+        step = (
+            delta.select("src", F.col("dst").alias("_mid"))
+            .join(edges.select(F.col("src").alias("_mid"), "dst"), "_mid")
+            .select("src", "dst")
+            .distinct()
+            .join(paths, ["src", "dst"], "left_anti")
+        )
+        if step.isEmpty():
+            for c in prev_ckpts[:-1]:
+                c.unpersist()
+            return paths
+        step_ck = step.localCheckpoint()
+        paths_ck = paths.unionByName(step_ck).localCheckpoint()
+        for c in prev_ckpts:
+            c.unpersist()
+        prev_ckpts = [step_ck, paths_ck]
+        paths = _realias(paths_ck, "src", "dst")
+        delta = _realias(step_ck, "src", "dst")
+    raise ValueError(
+        f"property-path closure did not converge within {_PATH_MAX_ITERS} hops"
+    )
+
+
+def _scan_path(quads: DataFrame, pat: Pattern) -> DataFrame:
+    """Compile one path pattern to a bindings frame (the path analog of
+    ``_scan``). Ground endpoints pick the cheap DIRECTIONAL reachability
+    (frontier BFS from the constant — never the full closure); two variables
+    compute the pairwise closure. Zero-length semantics per SPARQL 1.1:
+    ``*``/``?`` with a ground endpoint always admit the (t, t) solution;
+    with two variables the zero-length path matches every term of the
+    active graph (subject or object position); a repeated variable
+    (``?x <p>* ?x``) keeps only the diagonal."""
+    spark = quads.sparkSession
+    edges = _realias(
+        quads.filter(F.col("p") == pat.p)
+        .select(F.col("s").alias("src"), F.col("o").alias("dst"))
+        .distinct()
+        .localCheckpoint(),
+        "src", "dst",
+    )
+    include_zero = pat.path in ("*", "?")
+    s_var = pat.s[1:] if pat.s.startswith("?") else None
+    o_var = pat.o[1:] if pat.o.startswith("?") else None
+
+    if s_var is None and o_var is None:
+        # both ground: pure existence (zero-column frame, _join's semantics)
+        if include_zero and pat.s == pat.o:
+            return spark.range(1).select()
+        if pat.path == "?":
+            hit = edges.filter(
+                (F.col("src") == pat.s) & (F.col("dst") == pat.o)
+            )
+        else:
+            hit = _reachable(edges, pat.s, forward=True).filter(
+                F.col("n") == pat.o
+            )
+        return hit.select()
+
+    if s_var is None or o_var is None:
+        forward = s_var is None  # ground start ⇒ walk src→dst
+        ground, var = (pat.s, o_var) if forward else (pat.o, s_var)
+        if pat.path == "?":
+            reach = edges.filter(
+                F.col("src" if forward else "dst") == ground
+            ).select(F.col("dst" if forward else "src").alias("n"))
+        else:
+            reach = _reachable(edges, ground, forward=forward)
+        out = reach.select(F.col("n").alias(var))
+        if include_zero:
+            out = out.unionByName(
+                spark.createDataFrame([(ground,)], f"{var} string")
+            ).distinct()
+        return out
+
+    pairs = edges if pat.path == "?" else _closure_pairs(edges)
+    if include_zero:
+        # zero-length path: every term of the active graph matches itself
+        nodes = (
+            quads.select(F.col("s").alias("src"))
+            .unionByName(quads.select(F.col("o").alias("src")))
+            .distinct()
+        )
+        pairs = pairs.unionByName(
+            nodes.select("src", F.col("src").alias("dst"))
+        ).distinct()
+    if s_var == o_var:
+        return pairs.filter(F.col("src") == F.col("dst")).select(
+            F.col("src").alias(s_var)
+        )
+    return pairs.select(
+        F.col("src").alias(s_var), F.col("dst").alias(o_var)
+    )
+
+
 def _join(left: DataFrame | None, right: DataFrame, how: str = "inner") -> DataFrame:
     if left is None:
         return right
@@ -618,7 +856,10 @@ def _compile_group(quads: DataFrame, spark, group: Group) -> DataFrame | None:
     deferred: list[Filter] = []
     for item in group.items:
         if isinstance(item, Pattern):
-            frame = _join(frame, _scan(quads, item))
+            if item.path is None:
+                frame = _join(frame, _scan(quads, item))
+            else:
+                frame = _join(frame, _scan_path(quads, item))
         elif isinstance(item, Group):
             sub = _compile_group(quads, spark, item)
             if sub is not None:
@@ -652,6 +893,62 @@ def _compile_group(quads: DataFrame, spark, group: Group) -> DataFrame | None:
             raise SparqlSyntaxError("FILTER in an empty group")
         frame = frame.filter(_compile_expr(flt.expr, set(frame.columns)))
     return frame
+
+
+def _agg_col(a: Aggregate, frame_cols: set[str]) -> Column:
+    if a.arg is None:  # COUNT(*)
+        return F.count(F.lit(1)).alias(a.alias)
+    if a.arg not in frame_cols:
+        raise SparqlSyntaxError(f"aggregate over unbound variable ?{a.arg}")
+    col = F.col(a.arg)
+    if a.func == "COUNT":
+        agg = F.count_distinct(col) if a.distinct else F.count(col)
+    elif a.func == "SUM":
+        num = _numeric(col)  # decode typed-literal numeric values
+        agg = F.sum_distinct(num) if a.distinct else F.sum(num)
+    elif a.func == "AVG":
+        if a.distinct:
+            raise SparqlSyntaxError("AVG(DISTINCT) is not supported")
+        agg = F.avg(_numeric(col))
+    elif a.func in ("MIN", "MAX"):
+        # term-string ordering — consistent with ORDER BY's ordering
+        agg = F.min(col) if a.func == "MIN" else F.max(col)
+    else:  # pragma: no cover — parser admits only the funcs above
+        raise SparqlSyntaxError(f"unknown aggregate {a.func}")
+    return agg.alias(a.alias)
+
+
+def _compile_aggregate(frame: DataFrame, q: Query) -> DataFrame:
+    """GROUP BY / aggregate projection: one groupBy().agg() — Spark's
+    partial (map-side) aggregation applies automatically, so a COUNT over
+    10^12 rows shuffles one partial row per (partition, group)."""
+    cols = set(frame.columns)
+    plain = [name for kind, name in q.select_items if kind == "var"]
+    aggs = [item for kind, item in q.select_items if kind == "agg"]
+    if not q.select_items:  # SELECT * GROUP BY ... projects the group keys
+        plain = list(q.group_by)
+    for v in q.group_by:
+        if v not in cols:
+            raise SparqlSyntaxError(f"GROUP BY variable ?{v} not bound")
+    stray = [v for v in plain if v not in q.group_by]
+    if stray:
+        raise SparqlSyntaxError(
+            f"non-aggregate SELECT variables must appear in GROUP BY: {stray}"
+        )
+    for a in aggs:
+        if a.alias in cols:
+            raise SparqlSyntaxError(
+                f"aggregate alias ?{a.alias} is already a bound variable"
+            )
+    if not aggs:  # bare GROUP BY: the distinct group keys
+        return frame.select(*q.group_by).distinct().select(*plain)
+    agg_cols = [_agg_col(a, cols) for a in aggs]
+    grouped = frame.groupBy(*q.group_by).agg(*agg_cols)
+    projection = [
+        name if kind == "var" else name.alias
+        for kind, name in q.select_items
+    ]
+    return grouped.select(*projection)
 
 
 def set_filter_from(text: str, named_graph: str) -> str:
@@ -788,11 +1085,14 @@ def run_sparql(quads: DataFrame, text: str, hide_hk: bool = False) -> DataFrame:
         raise SparqlSyntaxError("empty WHERE group")
     if not frame.columns:
         raise SparqlSyntaxError("WHERE binds no variables")
-    variables = q.variables or sorted(frame.columns)
-    missing = [v for v in variables if v not in frame.columns]
-    if missing:
-        raise SparqlSyntaxError(f"projected variables not bound: {missing}")
-    out = frame.select(*variables)
+    if q.group_by or any(kind == "agg" for kind, _ in q.select_items):
+        out = _compile_aggregate(frame, q)
+    else:
+        variables = q.variables or sorted(frame.columns)
+        missing = [v for v in variables if v not in frame.columns]
+        if missing:
+            raise SparqlSyntaxError(f"projected variables not bound: {missing}")
+        out = frame.select(*variables)
     if q.distinct:
         out = out.distinct()
     if q.order_by:

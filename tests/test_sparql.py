@@ -402,6 +402,213 @@ class TestOtherForms:
             ).collect()
 
 
+PATH_ROWS = [
+    (0, "<n1>", "<http://p/parent>", "<r1>", G1),
+    (1, "<n2>", "<http://p/parent>", "<r1>", G1),
+    (2, "<n3>", "<http://p/parent>", "<r2>", G1),
+    (3, "<r1>", "<http://p/parent>", "<root>", G1),
+    (4, "<r2>", "<http://p/parent>", "<root>", G1),
+    (5, "<n1>", "<http://p/age>",
+     '"4"^^<http://www.w3.org/2001/XMLSchema#integer>', G1),
+    (6, "<n2>", "<http://p/age>",
+     '"6"^^<http://www.w3.org/2001/XMLSchema#integer>', G1),
+]
+
+
+class TestPropertyPaths:
+    """<p>* / <p>+ / <p>? — the forms the reference's generated SPARQL uses
+    (hasParent* sparqlfactory.js:800, REFERENCES_URI? :718-744), compiled to
+    bounded fixpoint joins."""
+
+    @pytest.fixture(scope="class")
+    def tree(self, spark):
+        return spark.createDataFrame(PATH_ROWS, QUAD_SCHEMA).cache()
+
+    def test_star_backward_from_ground(self, tree):
+        out = run_sparql(
+            tree, "SELECT ?c WHERE { ?c <http://p/parent>* <r1> }"
+        )
+        assert rows(out) == [("<n1>",), ("<n2>",), ("<r1>",)]
+
+    def test_plus_excludes_zero_length(self, tree):
+        out = run_sparql(
+            tree, "SELECT ?c WHERE { ?c <http://p/parent>+ <r1> }"
+        )
+        assert rows(out) == [("<n1>",), ("<n2>",)]
+
+    def test_question_is_zero_or_one(self, tree):
+        out = run_sparql(
+            tree, "SELECT ?c WHERE { ?c <http://p/parent>? <r1> }"
+        )
+        assert rows(out) == [("<n1>",), ("<n2>",), ("<r1>",)]
+        # forward from ground: direct successor plus self
+        out2 = run_sparql(
+            tree, "SELECT ?a WHERE { <n1> <http://p/parent>? ?a }"
+        )
+        assert rows(out2) == [("<n1>",), ("<r1>",)]
+
+    def test_plus_forward_multi_hop(self, tree):
+        out = run_sparql(
+            tree, "SELECT ?a WHERE { <n1> <http://p/parent>+ ?a }"
+        )
+        assert rows(out) == [("<r1>",), ("<root>",)]
+
+    def test_both_vars_full_closure(self, tree):
+        out = run_sparql(
+            tree, "SELECT ?s ?a WHERE { ?s <http://p/parent>+ ?a }"
+        )
+        assert rows(out) == sorted([
+            ("<n1>", "<r1>"), ("<n1>", "<root>"),
+            ("<n2>", "<r1>"), ("<n2>", "<root>"),
+            ("<n3>", "<r2>"), ("<n3>", "<root>"),
+            ("<r1>", "<root>"), ("<r2>", "<root>"),
+        ])
+
+    def test_star_repeated_var_is_graph_terms(self, tree):
+        # zero-length path with both ends the SAME variable: every term of
+        # the active graph matches itself (SPARQL 1.1 ZeroLengthPath)
+        out = run_sparql(tree, "SELECT ?x WHERE { ?x <http://p/parent>* ?x }")
+        terms = {r[0] for r in out.collect()}
+        assert "<root>" in terms and "<n3>" in terms
+        # literals in object position are terms too
+        assert '"4"^^<http://www.w3.org/2001/XMLSchema#integer>' in terms
+
+    def test_cycle_converges(self, spark):
+        cyc = spark.createDataFrame(
+            [(0, "<a>", "<http://p/r>", "<b>", G1),
+             (1, "<b>", "<http://p/r>", "<a>", G1)],
+            QUAD_SCHEMA,
+        )
+        out = run_sparql(cyc, "SELECT ?s ?o WHERE { ?s <http://p/r>+ ?o }")
+        assert rows(out) == sorted([
+            ("<a>", "<a>"), ("<a>", "<b>"), ("<b>", "<a>"), ("<b>", "<b>"),
+        ])
+        fwd = run_sparql(cyc, "SELECT ?o WHERE { <a> <http://p/r>+ ?o }")
+        assert rows(fwd) == [("<a>",), ("<b>",)]
+
+    def test_ground_ground_existence(self, tree):
+        # holding path keeps rows; failing path filters everything
+        hold = run_sparql(
+            tree,
+            "SELECT ?x WHERE { ?x <http://p/age> ?v ."
+            " <n1> <http://p/parent>* <root> }",
+        )
+        assert rows(hold) == [("<n1>",), ("<n2>",)]
+        fail = run_sparql(
+            tree,
+            "SELECT ?x WHERE { ?x <http://p/age> ?v ."
+            " <n3> <http://p/parent>+ <r1> }",
+        )
+        assert fail.count() == 0
+        # trivial zero-length: <t> <p>* <t> always holds
+        triv = run_sparql(
+            tree,
+            "SELECT ?x WHERE { ?x <http://p/age> ?v ."
+            " <nowhere> <http://p/parent>* <nowhere> }",
+        )
+        assert triv.count() == 2
+
+    def test_path_on_variable_predicate_raises(self, tree):
+        with pytest.raises(SparqlSyntaxError):
+            run_sparql(tree, "SELECT ?x WHERE { ?x ?p* ?o }")
+
+    def test_path_in_construct_template_raises(self, tree):
+        with pytest.raises(SparqlSyntaxError):
+            run_sparql(
+                tree,
+                "CONSTRUCT { ?a <http://p/x>* ?b } WHERE"
+                " { ?a <http://p/parent> ?b }",
+            )
+
+
+class TestAggregates:
+    @pytest.fixture(scope="class")
+    def tree(self, spark):
+        return spark.createDataFrame(PATH_ROWS, QUAD_SCHEMA).cache()
+
+    def test_count_group_by(self, tree):
+        out = run_sparql(
+            tree,
+            "SELECT ?p (COUNT(?c) AS ?n) WHERE"
+            " { ?c <http://p/parent> ?p } GROUP BY ?p",
+        )
+        assert out.columns == ["p", "n"]
+        assert rows(out) == [("<r1>", 2), ("<r2>", 1), ("<root>", 2)]
+
+    def test_global_count_star_and_sum(self, tree):
+        out = run_sparql(
+            tree,
+            "SELECT (COUNT(*) AS ?n) (SUM(?v) AS ?total) WHERE"
+            " { ?x <http://p/age> ?v }",
+        )
+        assert rows(out) == [(2, 10.0)]
+
+    def test_count_distinct(self, tree):
+        out = run_sparql(
+            tree,
+            "SELECT (COUNT(DISTINCT ?p) AS ?np) WHERE"
+            " { ?c <http://p/parent> ?p }",
+        )
+        assert rows(out) == [(3,)]
+
+    def test_min_max_term_order(self, tree):
+        out = run_sparql(
+            tree,
+            "SELECT (MIN(?c) AS ?lo) (MAX(?c) AS ?hi) WHERE"
+            " { ?c <http://p/parent> ?p }",
+        )
+        assert rows(out) == [("<n1>", "<r2>")]
+
+    def test_bare_group_by_is_distinct_keys(self, tree):
+        out = run_sparql(
+            tree,
+            "SELECT ?p WHERE { ?c <http://p/parent> ?p } GROUP BY ?p",
+        )
+        assert rows(out) == [("<r1>",), ("<r2>",), ("<root>",)]
+
+    def test_aggregate_over_path(self, tree):
+        # paths and aggregates compose: members-per-ancestor
+        out = run_sparql(
+            tree,
+            "SELECT ?a (COUNT(?s) AS ?n) WHERE"
+            " { ?s <http://p/parent>+ ?a } GROUP BY ?a",
+        )
+        assert rows(out) == [("<r1>", 2), ("<r2>", 1), ("<root>", 5)]
+
+    def test_projected_var_must_be_grouped(self, tree):
+        with pytest.raises(SparqlSyntaxError):
+            run_sparql(
+                tree,
+                "SELECT ?c (COUNT(?p) AS ?n) WHERE"
+                " { ?c <http://p/parent> ?p }",
+            )
+
+    def test_alias_collision_raises(self, tree):
+        with pytest.raises(SparqlSyntaxError):
+            run_sparql(
+                tree,
+                "SELECT ?p (COUNT(?c) AS ?p) WHERE"
+                " { ?c <http://p/parent> ?p } GROUP BY ?p",
+            )
+
+    def test_avg_distinct_raises(self, tree):
+        with pytest.raises(SparqlSyntaxError):
+            run_sparql(
+                tree,
+                "SELECT (AVG(DISTINCT ?v) AS ?a) WHERE"
+                " { ?x <http://p/age> ?v }",
+            )
+
+    def test_order_by_aggregate_alias(self, tree):
+        out = run_sparql(
+            tree,
+            "SELECT ?p (COUNT(?c) AS ?n) WHERE { ?c <http://p/parent> ?p }"
+            " GROUP BY ?p ORDER BY DESC(?n) LIMIT 1",
+        )
+        got = rows(out)
+        assert len(got) == 1 and got[0][1] == 2
+
+
 class TestSecondReviewRegressions:
     """Second self-review round: ASK grammar/trailing tokens, hostile
     nesting, CONSTRUCT bnode freshness, set_filter_from form handling."""
