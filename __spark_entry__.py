@@ -616,7 +616,7 @@ def q_ann_cosine_topk(spark, sf_dir):
 
 
 def q_ann_lsh_buckets(spark, sf_dir):
-    return similarity.lsh_buckets(_embs(spark, sf_dir), planes=8)
+    return similarity.lsh_buckets(_embs(spark, sf_dir), planes=8, dim=64)
 
 
 def q_ann_lsh_topk(spark, sf_dir):
@@ -625,7 +625,7 @@ def q_ann_lsh_topk(spark, sf_dir):
     the approximation, mirrored exactly by the oracle)."""
     e = _embs(spark, sf_dir)
     return similarity.ann_topk_lsh(
-        e, e.filter(F.col("vec_id") < 10), k=5, planes=8
+        e, e.filter(F.col("vec_id") < 10), k=5, planes=8, dim=64
     )
 
 
@@ -689,7 +689,8 @@ def q_embed_neardup(spark, sf_dir):
     tables, exact cosine ≥ 0.95 verify. The seeded cosine-0.96 near pairs
     (see _neardup_corpus) are largely invisible to any single table."""
     return similarity.embedding_near_duplicates(
-        _neardup_corpus(spark, sf_dir), threshold_e4=9500, planes=8, tables=4
+        _neardup_corpus(spark, sf_dir), threshold_e4=9500, planes=8, tables=4,
+        dim=64,
     )
 
 

@@ -20,7 +20,33 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from rdf2hk_spark.ops.hashing import md5_int
+from rdf2hk_spark.ops.hashing import md5_int_py
+
+
+def plane_weights(
+    planes: int, dim: int, plane_offset: int = 0
+) -> list[list[float]]:
+    """The deterministic hyperplane weight matrix, computed ONCE in Python at
+    plan-build time: w[p][d] = md5_int("p,d")/10^6 - 0.5 (the exact doubles
+    the SQL oracle derives — int→double is exact below 2^53 and /1e6, -0.5
+    round identically, so buckets match bit-for-bit). Embedding the
+    planes×dim literals in the plan replaces the previous per-ROW evaluation
+    of planes·dim md5+regexp calls inside nested HOF lambdas — a pure
+    constant that was being recomputed 10^12 times at corpus scale."""
+    return [
+        [md5_int_py(f"{p},{d}") / 1e6 - 0.5 for d in range(dim)]
+        for p in range(plane_offset, plane_offset + planes)
+    ]
+
+
+def _infer_dim(embeddings: DataFrame, vec_col: str) -> int:
+    """Vector width from one row (array columns carry no length in the
+    schema). One single-row job at plan-build time — pass ``dim`` explicitly
+    to skip it."""
+    row = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None:
+        raise ValueError("cannot infer embedding dim from an empty frame")
+    return row["d"]
 
 
 def _dot(a, b) -> F.Column:
@@ -93,34 +119,31 @@ def lsh_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     plane_offset: int = 0,
+    dim: int | None = None,
 ) -> DataFrame:
-    """Random-hyperplane signature: bit_p = sign(v · w_p) where
-    w_p[d] = md5_int(p ',' d)/10^6 - 0.5 (deterministic, engine-portable).
-    Returns (id, bucket) with bucket a planes-char '0'/'1' string.
-    ``plane_offset`` shifts the global plane indices — table t of a
-    multi-table (OR-amplified) scheme uses offset t·planes, giving each
-    table an independent deterministic plane set from the same formula."""
-    dim_w = F.transform(
-        F.sequence(F.lit(plane_offset), F.lit(plane_offset + planes - 1)),
-        lambda p: F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.transform(
-                    F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1),
-                    lambda d: md5_int(
-                        F.concat(p.cast("string"), F.lit(","), d.cast("string"))
-                    ).cast("double") / 1e6 - 0.5,
-                ),
-                lambda x, w: x.cast("double") * w,
-            ),
+    """Random-hyperplane signature: bit_p = sign(v · w_p) with the
+    ``plane_weights`` matrix embedded as LITERAL arrays (no per-row hash
+    evaluation — see plane_weights). Returns (id, bucket) with bucket a
+    planes-char '0'/'1' string. ``plane_offset`` shifts the global plane
+    indices — table t of a multi-table (OR-amplified) scheme uses offset
+    t·planes, giving each table an independent deterministic plane set from
+    the same formula. ``dim`` is the vector width (inferred from one row
+    when omitted)."""
+    if dim is None:
+        dim = _infer_dim(embeddings, vec_col)
+    weights = plane_weights(planes, dim, plane_offset)
+    vec = F.col(vec_col)
+
+    def bit(w: list[float]) -> F.Column:
+        wl = F.array(*[F.lit(x) for x in w])
+        s = F.aggregate(
+            F.zip_with(vec, wl, lambda x, wv: x.cast("double") * wv),
             F.lit(0.0),
             lambda acc, v: acc + v,
-        ),
-    )
-    sig = F.concat_ws(
-        "",
-        F.transform(dim_w, lambda s: F.when(s > 0, F.lit("1")).otherwise(F.lit("0"))),
-    )
+        )
+        return F.when(s > 0, F.lit("1")).otherwise(F.lit("0"))
+
+    sig = F.concat(*[bit(w) for w in weights])
     return embeddings.select(F.col(id_col).alias("id"), sig.alias("bucket"))
 
 
@@ -268,6 +291,7 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     tables: int = 1,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: candidates collide on a
     random-hyperplane LSH bucket (never all-pairs), then exact cosine ≥
@@ -284,12 +308,17 @@ def embedding_near_duplicates(
     ``max_bucket`` bounds the within-bucket pair blow-up exactly like
     dedup.lsh_candidate_pairs — at 10^12 scale a degenerate bucket (zero
     vectors, boilerplate embeddings) would otherwise emit O(n²) pairs."""
+    if dim is None:
+        dim = _infer_dim(embeddings, vec_col)
     e_ids = embeddings.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
     )
     cand: DataFrame | None = None
     for t in range(tables):
-        b = lsh_buckets(embeddings, planes, id_col, vec_col, plane_offset=t * planes)
+        b = lsh_buckets(
+            embeddings, planes, id_col, vec_col,
+            plane_offset=t * planes, dim=dim,
+        )
         sized = b.groupBy("bucket").agg(F.count("*").alias("n")).filter(
             (F.col("n") > 1) & (F.col("n") <= max_bucket)
         ).select("bucket")
@@ -329,11 +358,12 @@ def ann_topk_lsh(
     planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's LSH bucket; exact
     re-rank within. Same output shape as cosine_topk (rank may be < k when a
     bucket is thin — that is the approximation)."""
-    b = lsh_buckets(embeddings, planes, id_col, vec_col)
+    b = lsh_buckets(embeddings, planes, id_col, vec_col, dim=dim)
     e = embeddings.join(b, embeddings[id_col] == b["id"]).select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"), "bucket"
     )
