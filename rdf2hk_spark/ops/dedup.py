@@ -266,44 +266,43 @@ def simhash(
     Bit j of token t = parity of the j-th hex digit of md5(t). Signature bit =
     1 iff strictly more set-votes than clear-votes (ties → 0). Returns
     (id, simhash) with the signature as a ``bits``-char '0'/'1' string —
-    engine-portable, band-sliceable with substr."""
+    engine-portable, band-sliceable with substr.
+
+    Shuffle shape (the ``_wide_signature`` trick): the ``bits`` votes are
+    projected map-side as COLUMNS of one row per token and aggregated by a
+    SINGLE groupBy(id) with ``bits`` sums — one wide row per doc through the
+    shuffle, versus the previous (id, bit, vote) explode whose groupBy
+    carried ``bits`` keyed rows per token (16× the shuffle volume) and
+    needed a second groupBy(id) to assemble the signature. Flat when/sum
+    expressions also stay inside whole-stage codegen (the nested-HOF explode
+    variant was CodegenFallback). Output byte-identical."""
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(
             F.array_distinct(F.split(F.lower(F.col(text_col)), " "))
         ).alias("tok"),
     )
-    h = toks.withColumn("h", md5s(F.col("tok")))
+    # hex digit → parity: digits 1,3,5,7,9,b,d,f are odd
+    h = toks.select("id", md5s(F.col("tok")).alias("h"))
     votes = h.select(
         "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.lit(bits)),
-                lambda j: F.struct(
-                    j.alias("bit"),
-                    # hex digit → parity: digits 1,3,5,7,9,b,d,f are odd
-                    F.when(
-                        F.substring(F.col("h"), j, 1).isin(
-                            "1", "3", "5", "7", "9", "b", "d", "f"
-                        ),
-                        F.lit(1),
-                    ).otherwise(F.lit(-1)).alias("v"),
+        *[
+            F.when(
+                F.substring(F.col("h"), j, 1).isin(
+                    "1", "3", "5", "7", "9", "b", "d", "f"
                 ),
-            )
-        ).alias("x"),
-    ).select("id", "x.bit", "x.v")
-    sig = (
-        votes.groupBy("id", "bit")
-        .agg(F.sum("v").alias("sv"))
-        .groupBy("id")
-        .agg(
-            F.concat_ws(
-                "",
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("bit", "sv"))),
-                    lambda x: F.when(x["sv"] > 0, F.lit("1")).otherwise(F.lit("0")),
-                ),
-            ).alias("simhash")
-        )
+                F.lit(1),
+            ).otherwise(F.lit(-1)).alias(f"v{j}")
+            for j in range(1, bits + 1)
+        ],
     )
-    return sig
+    agg = votes.groupBy("id").agg(
+        *[F.sum(F.col(f"v{j}")).alias(f"sv{j}") for j in range(1, bits + 1)]
+    )
+    sig = F.concat(
+        *[
+            F.when(F.col(f"sv{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for j in range(1, bits + 1)
+        ]
+    )
+    return agg.select("id", sig.alias("simhash"))
