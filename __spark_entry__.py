@@ -950,22 +950,25 @@ sh AS (
 )
 """
 
-# MinHash universal-hash family (ops/dedup.py minhash_perm_consts): one
-# md5-derived 9-digit integer per shingle, 16 linear permutations mod P —
-# the same python-computed constants are baked into both engines' plans.
-_MH_A, _MH_B = dedup.minhash_perm_consts(16)
+# MinHash universal-hash family (ops/dedup.py minhash_perm_consts): one md5
+# per shingle yields TWO 9-digit base integers (disjoint digit windows),
+# 16 linear permutations (a·h0 + b·h1 + c) mod P — the same python-computed
+# constants are baked into both engines' plans. Two windows, not one: a
+# single-h0 collision made two shingles identical under every permutation.
+_MH_A, _MH_B, _MH_C = dedup.minhash_perm_consts(16)
 _MH_VALUES = ", ".join(
-    f"({i}, {_MH_A[i]}, {_MH_B[i]})" for i in range(16)
+    f"({i}, {_MH_A[i]}, {_MH_B[i]}, {_MH_C[i]})" for i in range(16)
 )
 from rdf2hk_spark.ops.hashing import md5_int_sql as _md5_int_sql
 
 _H0_SQL = _md5_int_sql("shingle", 9)
+_H1_SQL = _md5_int_sql("shingle", 9, offset=9)
 
 _MINHASH_CTE = f"""
 mh AS (
-  SELECT id, hidx, min((a * h0 + b) % {dedup.MINHASH_P}) AS minh
-  FROM (SELECT id, {_H0_SQL} AS h0 FROM sh) x
-  CROSS JOIN (VALUES {_MH_VALUES}) t(hidx, a, b)
+  SELECT id, hidx, min((a * h0 + b * h1 + c) % {dedup.MINHASH_P}) AS minh
+  FROM (SELECT id, {_H0_SQL} AS h0, {_H1_SQL} AS h1 FROM sh) x
+  CROSS JOIN (VALUES {_MH_VALUES}) t(hidx, a, b, c)
   GROUP BY id, hidx
 )
 """

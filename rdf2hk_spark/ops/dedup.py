@@ -19,21 +19,47 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from rdf2hk_spark.ops.hashing import md5_int, md5_int_py, md5s
+from rdf2hk_spark.ops.hashing import md5_int_py, md5s
 
-# MinHash universal-hash family: ONE md5-derived 9-digit integer per shingle,
-# then h_i(s) = (a_i·h(s) + b_i) mod P — 16 multiply-adds replace 16 md5
-# invocations per shingle (the md5 was ~all of the signature cost). The a/b
-# constants derive from md5 at import time, so they are identical literals in
-# the Spark plan and the DuckDB oracle SQL. Bounds: h < 10^9, a < P < 2^30 ⇒
-# a·h + b < 10^18.3 < 2^63 (no overflow).
+# MinHash universal-hash family: ONE md5 evaluation per shingle yields TWO
+# 9-digit base integers (disjoint digit windows of the same digest), then
+# h_i(s) = (a_i·h0(s) + b_i·h1(s) + c_i) mod P — 16 multiply-adds replace 16
+# md5 invocations per shingle (the md5 was ~all of the signature cost). Two
+# base digests instead of one: with a single h0 any 9-digit collision between
+# distinct shingles (expected once past ~√10⁹ ≈ 31k distinct shingles —
+# routine at corpus scale) made them identical under EVERY h_i, biasing
+# estimated Jaccard upward; the pair (h0, h1) collides only when the digest's
+# whole digit string does. The a/b/c constants derive from md5 at import
+# time, so they are identical literals in the Spark plan and the DuckDB
+# oracle SQL. Bounds: h0,h1 < 10^9, a,b < P < 2^30 ⇒
+# a·h0 + b·h1 + c < 2.1·10^18 < 2^63 (no overflow).
 MINHASH_P = 1_000_000_007
 
 
-def minhash_perm_consts(num_hashes: int) -> tuple[list[int], list[int]]:
+def minhash_perm_consts(
+    num_hashes: int,
+) -> tuple[list[int], list[int], list[int]]:
     a = [(md5_int_py(f"a:{i}", 9) % (MINHASH_P - 1)) + 1 for i in range(num_hashes)]
-    b = [md5_int_py(f"b:{i}", 9) % MINHASH_P for i in range(num_hashes)]
-    return a, b
+    b = [(md5_int_py(f"b:{i}", 9) % (MINHASH_P - 1)) + 1 for i in range(num_hashes)]
+    c = [md5_int_py(f"c:{i}", 9) % MINHASH_P for i in range(num_hashes)]
+    return a, b, c
+
+
+def _base_hash_pair(shingles: DataFrame) -> DataFrame:
+    """(id, h0, h1): the two disjoint 9-digit windows of ONE md5 digit
+    string per shingle (see the family note above). The padded digit string
+    materializes as its own aliased projection — non-cheap and referenced
+    twice, so CollapseProject keeps it single-evaluated even in interpreted
+    (no-subexpression-elimination) mode."""
+    padded = F.concat(
+        F.regexp_replace(md5s(F.col("shingle")), "[a-f]", ""),
+        F.lit("0" * 18),
+    )
+    return shingles.select("id", padded.alias("_ds")).select(
+        "id",
+        F.substring("_ds", 1, 9).cast("long").alias("h0"),
+        F.substring("_ds", 10, 9).cast("long").alias("h1"),
+    )
 
 
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -78,10 +104,8 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
     """K minhashes per doc via the linear-permutation family (see
     ``minhash_perm_consts``): integer minima, engine-portable.
     → (id, hidx, minh: bigint)."""
-    a, b = minhash_perm_consts(num_hashes)
-    base = shingles.select(
-        "id", md5_int(F.col("shingle"), digits=9).alias("h0")
-    )
+    a, b, c = minhash_perm_consts(num_hashes)
+    base = _base_hash_pair(shingles)
     hashed = base.select(
         "id",
         F.explode(
@@ -89,7 +113,14 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(i).alias("hidx"),
-                        ((F.lit(a[i]) * F.col("h0") + F.lit(b[i])) % MINHASH_P).alias("h"),
+                        (
+                            (
+                                F.lit(a[i]) * F.col("h0")
+                                + F.lit(b[i]) * F.col("h1")
+                                + F.lit(c[i])
+                            )
+                            % MINHASH_P
+                        ).alias("h"),
                     )
                     for i in range(num_hashes)
                 ]
@@ -109,21 +140,29 @@ def _wide_signature(
     band keys) becomes a map-side projection — no second shuffle. Flat
     min/when expressions stay inside whole-stage codegen (nested
     higher-order-function variants are CodegenFallback and measured slower)."""
-    a, b = minhash_perm_consts(num_hashes)
+    a, b, c = minhash_perm_consts(num_hashes)
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(shingle_array(F.col(text_col), k)).alias("shingle"),
     )
-    # ONE md5-derived integer per shingle (CollapseProject keeps the alias
-    # single-evaluated — it never inlines a non-cheap expression referenced
-    # more than once), then one linear permutation per hash as COLUMNS — no
-    # hidx explode (16× fewer rows through the aggregate), no conditional
-    # buffer updates (each min feeds from its own column)
-    base = sh.select("id", md5_int(F.col("shingle"), digits=9).alias("h0"))
+    # ONE md5 per shingle yielding the (h0, h1) base pair (CollapseProject
+    # keeps the alias single-evaluated — it never inlines a non-cheap
+    # expression referenced more than once), then one linear permutation per
+    # hash as COLUMNS — no hidx explode (16× fewer rows through the
+    # aggregate), no conditional buffer updates (each min feeds from its own
+    # column)
+    base = _base_hash_pair(sh)
     hashed = base.select(
         "id",
         *[
-            ((F.lit(a[i]) * F.col("h0") + F.lit(b[i])) % MINHASH_P).alias(f"h{i}")
+            (
+                (
+                    F.lit(a[i]) * F.col("h0")
+                    + F.lit(b[i]) * F.col("h1")
+                    + F.lit(c[i])
+                )
+                % MINHASH_P
+            ).alias(f"h{i}")
             for i in range(num_hashes)
         ],
     )

@@ -15,29 +15,38 @@ def md5s(col: Column) -> Column:
     return F.md5(F.encode(col, "UTF-8"))
 
 
-def md5_int(col: Column, digits: int = 6) -> Column:
+def md5_int(col: Column, digits: int = 6, offset: int = 0) -> Column:
     """Deterministic non-negative integer from a string: strip the hex letters
-    out of md5, pad, take the first ``digits`` decimal digits. Uniform enough
-    for salting/banding; identical in any engine with md5 + regexp_replace."""
+    out of md5, pad, take ``digits`` decimal digits starting after ``offset``
+    digits. Uniform enough for salting/banding; identical in any engine with
+    md5 + regexp_replace. Two disjoint windows of the SAME digest (offset 0
+    and ``digits``) give an (almost) independent integer pair for one md5
+    evaluation — collision of the pair needs the full digit string to
+    collide."""
     ds = F.regexp_replace(md5s(col), "[a-f]", "")
-    return F.substring(F.concat(ds, F.lit("0" * digits)), 1, digits).cast("long")
+    return F.substring(
+        F.concat(ds, F.lit("0" * (offset + digits))), offset + 1, digits
+    ).cast("long")
 
 
 # DuckDB twin of md5_int, as a SQL fragment template
 MD5_INT_SQL = (
-    "CAST(substr(regexp_replace(md5({x}), '[a-f]', '', 'g') || '{pad}', 1, {digits}) AS BIGINT)"
+    "CAST(substr(regexp_replace(md5({x}), '[a-f]', '', 'g') || '{pad}', {start}, {digits}) AS BIGINT)"
 )
 
 
-def md5_int_sql(x: str, digits: int = 6) -> str:
-    return MD5_INT_SQL.format(x=x, pad="0" * digits, digits=digits)
+def md5_int_sql(x: str, digits: int = 6, offset: int = 0) -> str:
+    return MD5_INT_SQL.format(
+        x=x, pad="0" * (offset + digits), start=offset + 1, digits=digits
+    )
 
 
-def md5_int_py(s: str, digits: int = 6) -> int:
+def md5_int_py(s: str, digits: int = 6, offset: int = 0) -> int:
     """Pure-Python twin of md5_int — for deriving constants that must be
     identical literals in the Spark plan and the oracle SQL."""
     import hashlib
     import re
 
     h = hashlib.md5(s.encode()).hexdigest()
-    return int((re.sub("[a-f]", "", h) + "0" * digits)[:digits])
+    ds = re.sub("[a-f]", "", h) + "0" * (offset + digits)
+    return int(ds[offset : offset + digits])
