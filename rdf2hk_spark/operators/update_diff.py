@@ -107,6 +107,15 @@ def _gpart(col="g") -> F.Column:
     return F.md5(F.encode(F.col(col), "UTF-8"))
 
 
+def gpart_key(g: str) -> str:
+    """Python twin of ``_gpart``: the partition directory key for a graph.
+    Lets plan-builders (e.g. SPARQL FROM <g>) turn a graph IRI into a
+    literal partition-column predicate that prunes at PLANNING time."""
+    import hashlib
+
+    return hashlib.md5(g.encode("utf-8")).hexdigest()
+
+
 def write_quad_store(quads: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Write quads as a graph-partitioned parquet store (dir per md5(g))."""
     (
@@ -115,10 +124,16 @@ def write_quad_store(quads: DataFrame, path: str, mode: str = "overwrite") -> No
     )
 
 
-def read_quad_store(spark: SparkSession, path: str) -> DataFrame:
-    return (
-        spark.read.schema(_STORE_SCHEMA).parquet(path).select("s", "p", "o", "g")
-    )
+def read_quad_store(
+    spark: SparkSession, path: str, with_partition_key: bool = False
+) -> DataFrame:
+    """Read the store as (s, p, o, g). ``with_partition_key=True`` keeps the
+    ``gpart`` partition column so graph-scoped consumers (SPARQL ``FROM
+    <g>``, Q11 scope_to_context) can attach a partition-column predicate the
+    scan prunes on — a plain ``g = <iri>`` filter alone reads every
+    partition's files."""
+    cols = ["s", "p", "o", "g"] + ([_GPART] if with_partition_key else [])
+    return spark.read.schema(_STORE_SCHEMA).parquet(path).select(*cols)
 
 
 def merge_into_store(spark: SparkSession, path: str, delta: DataFrame) -> list[str]:
@@ -140,6 +155,7 @@ def merge_into_store(spark: SparkSession, path: str, delta: DataFrame) -> list[s
     including reparenting — a moved entity deletes from its old graph's
     partition and inserts into the new one, both of which are in the delta's
     touched set by construction (update_quads emits both sides)."""
+    recover_store(spark, path)  # complete/roll back any crashed prior merge
     keys = [
         r[_GPART] if r[_GPART] is not None else _HIVE_NULL
         for r in delta.select(_gpart().alias(_GPART)).distinct().collect()
@@ -162,6 +178,7 @@ def compact_store(
     fs, HPath = _store_fs(spark, path)
     if not fs.exists(HPath(path)):
         return []  # nothing to compact (maintenance job before first merge)
+    recover_store(spark, path)
     if keys is None:
         keys = [
             st.getPath().getName().split("=", 1)[1]
@@ -215,19 +232,100 @@ def _read_partitions(
     )
 
 
+def recover_store(spark: SparkSession, path: str) -> list[str]:
+    """Crash recovery + garbage collection, run at the start of every merge/
+    compaction (callable standalone as a maintenance job):
+
+    - a ``.merge-commit-<id>`` manifest WITHOUT its ``_COMMITTED`` marker
+      (crash while staging) is rolled back: manifest and staging deleted,
+      store untouched;
+    - a manifest WITH ``_COMMITTED`` (crash mid-swap) is rolled FORWARD: the
+      per-partition swap replays idempotently from the manifest's
+      ``staged_<key>`` / ``empty_<key>`` markers (staged dir present →
+      delete-old + rename; absent → already renamed; ``empty`` → delete the
+      partition), then staging + manifest are removed;
+    - orphan ``.merge-staging-*`` dirs with no manifest (pre-commit crash,
+      or a completed swap that crashed on its final cleanup delete) are
+      swept.
+
+    Returns the recovered/rolled-back commit ids."""
+    fs, HPath = _store_fs(spark, path)
+    if not fs.exists(HPath(path)):
+        return []
+    names = [st.getPath().getName() for st in fs.listStatus(HPath(path))]
+    handled: list[str] = []
+    for n in names:
+        if not n.startswith(".merge-commit-"):
+            continue
+        mid = n[len(".merge-commit-"):]
+        mdir = f"{path}/{n}"
+        staging = f"{path}/.merge-staging-{mid}"
+        entries = [st.getPath().getName() for st in fs.listStatus(HPath(mdir))]
+        if "_COMMITTED" not in entries:
+            fs.delete(HPath(mdir), True)
+            fs.delete(HPath(staging), True)
+            handled.append(mid)
+            continue
+        for e in entries:
+            if e.startswith("staged_"):
+                k = e[len("staged_"):]
+                src = HPath(f"{staging}/{_GPART}={k}")
+                dst = HPath(f"{path}/{_GPART}={k}")
+                if fs.exists(src):  # not yet renamed by the crashed merge
+                    if fs.exists(dst):
+                        fs.delete(dst, True)
+                    fs.rename(src, dst)
+            elif e.startswith("empty_"):
+                k = e[len("empty_"):]
+                dst = HPath(f"{path}/{_GPART}={k}")
+                if fs.exists(dst):  # merge emptied this partition
+                    fs.delete(dst, True)
+        fs.delete(HPath(staging), True)
+        fs.delete(HPath(mdir), True)
+        handled.append(mid)
+    for n in names:
+        if n.startswith(".merge-staging-"):
+            mid = n[len(".merge-staging-"):]
+            if not fs.exists(HPath(f"{path}/.merge-commit-{mid}")):
+                fs.delete(HPath(f"{path}/{n}"), True)
+    return handled
+
+
 def _staged_swap(
     spark: SparkSession, path: str, keys: list[str], frame: DataFrame
 ) -> None:
-    """Write ``frame`` (s,p,o,g) gpart-partitioned into a staging dir, then
-    swap the listed partition dirs in (delete old, rename staged). A crash
-    before the swap leaves the store intact; absent staged dir = every row
-    of that partition was deleted."""
+    """Write ``frame`` (s,p,o,g) gpart-partitioned into a staging dir,
+    record a commit manifest, then swap the listed partition dirs in
+    (delete old, rename staged; absent staged dir = every row of that
+    partition was deleted).
+
+    Commit protocol (closes the partial-swap window): the manifest dir
+    ``.merge-commit-<id>`` lists each key's disposition (``staged_<key>`` /
+    ``empty_<key>``) and is sealed by a ``_COMMITTED`` marker AFTER the
+    staged data is fully written. A crash before ``_COMMITTED`` rolls back
+    (store intact); a crash after it — mid-swap, previously a window where
+    some partitions were merged and others not — rolls FORWARD on the next
+    ``recover_store`` (idempotent replay of the remaining renames). The
+    swap itself never mutates a partition it has already completed, so
+    replay converges to exactly the merged state."""
     fs, HPath = _store_fs(spark, path)
-    staging = f"{path}/.merge-staging-{uuid.uuid4().hex}"
+    mid = uuid.uuid4().hex
+    staging = f"{path}/.merge-staging-{mid}"
     (
         frame.select("s", "p", "o", "g", _gpart().alias(_GPART))
         .write.mode("overwrite").partitionBy(_GPART).parquet(staging)
     )
+    staged = {
+        st.getPath().getName().split("=", 1)[1]
+        for st in fs.listStatus(HPath(staging))
+        if st.getPath().getName().startswith(f"{_GPART}=")
+    }
+    mdir = f"{path}/.merge-commit-{mid}"
+    fs.mkdirs(HPath(mdir))
+    for k in keys:
+        marker = "staged_" if k in staged else "empty_"
+        fs.create(HPath(f"{mdir}/{marker}{k}"), True).close()
+    fs.create(HPath(f"{mdir}/_COMMITTED"), True).close()
     for k in keys:
         dst = HPath(f"{path}/{_GPART}={k}")
         src = HPath(f"{staging}/{_GPART}={k}")
@@ -236,3 +334,4 @@ def _staged_swap(
         if fs.exists(src):
             fs.rename(src, dst)
     fs.delete(HPath(staging), True)
+    fs.delete(HPath(mdir), True)

@@ -1001,6 +1001,16 @@ def run_sparql(quads: DataFrame, text: str, hide_hk: bool = False) -> DataFrame:
     base = quads
     if q.from_graphs:
         base = base.filter(F.col("g").isin(q.from_graphs))
+        if "gpart" in base.columns:
+            # graph-partitioned store (read_quad_store with_partition_key):
+            # add the literal partition-key predicate so the FROM clause
+            # prunes whole partition DIRECTORIES at planning time (Q11) —
+            # the g-filter alone is a row filter over every file
+            from rdf2hk_spark.operators.update_diff import gpart_key
+
+            base = base.filter(
+                F.col("gpart").isin([gpart_key(g) for g in q.from_graphs])
+            )
     if hide_hk:
         base = filter_hk(base)
 

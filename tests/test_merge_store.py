@@ -89,6 +89,35 @@ def test_merge_scan_is_partition_pruned(spark, store):
     assert files and all(f"gpart={gpart(G2)}" in f for f in files)
 
 
+def test_sparql_from_prunes_store_partitions(spark, store):
+    """Q11 end-to-end THROUGH the SPARQL text surface: run_sparql over
+    read_quad_store(with_partition_key=True) turns ``FROM <g>`` into a
+    literal gpart predicate — the physical scan prunes to that single
+    partition directory and the result matches the graph's rows."""
+    from rdf2hk_spark.plans.sparql import run_sparql
+
+    quads = U.read_quad_store(spark, store, with_partition_key=True)
+    out = run_sparql(
+        quads, f"SELECT ?s ?o FROM {G2} WHERE {{ ?s <http://p> ?o }}"
+    )
+    assert sorted(tuple(r) for r in out.collect()) == [
+        ("<http://c>", "<http://d>")
+    ]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and gpart(G2) in plan
+    # the other graphs' keys are nowhere in the plan — their directories
+    # are never opened
+    assert gpart(G1) not in plan and gpart(G3) not in plan
+    # and the files actually read are confined to the FROM graph's dir
+    scan = quads.filter(F.col("g") == G2).filter(
+        F.col("gpart").isin([gpart(G2)])
+    )
+    files = [
+        r[0] for r in scan.select(F.input_file_name()).distinct().collect()
+    ]
+    assert files and all(f"gpart={gpart(G2)}" in f for f in files)
+
+
 def test_merge_empties_and_creates_partitions(spark, store):
     delta = spark.createDataFrame(
         [
@@ -160,6 +189,68 @@ def test_compact_store_single_file_per_partition(spark, store):
     all_keys = U.compact_store(spark, store)
     assert set(all_keys) >= {gpart(G1), gpart(G2), gpart(G3)}
     assert quadset(U.read_quad_store(spark, store)) == before
+
+
+def _fake_crashed_merge(spark, store, committed: bool):
+    """Stage a modified G2 partition + manifest as a merge that crashed
+    right after (committed=True) or before (False) its _COMMITTED marker."""
+    mid = "deadbeef"
+    staging = os.path.join(store, f".merge-staging-{mid}")
+    staged = spark.createDataFrame(
+        [("<http://c>", "<http://p>", "<http://NEW>", G2)], QUAD_SCHEMA
+    )
+    U.write_quad_store(staged, staging)
+    mdir = os.path.join(store, f".merge-commit-{mid}")
+    os.makedirs(mdir)
+    open(os.path.join(mdir, f"staged_{gpart(G2)}"), "w").close()
+    open(os.path.join(mdir, f"empty_{gpart(G3)}"), "w").close()
+    if committed:
+        open(os.path.join(mdir, "_COMMITTED"), "w").close()
+    return mid
+
+
+def test_recover_rolls_forward_committed_swap(spark, store):
+    """Crash AFTER the _COMMITTED marker, before any rename: the next
+    recover_store completes the swap — G2 gets the staged content, the
+    manifest's empty_G3 partition is dropped, staging+manifest are gone."""
+    mid = _fake_crashed_merge(spark, store, committed=True)
+    assert U.recover_store(spark, store) == [mid]
+    got = quadset(U.read_quad_store(spark, store))
+    assert ("<http://c>", "<http://p>", "<http://NEW>", G2) in got
+    assert not any(g == G2 and o != "<http://NEW>" for _, _, o, g in got)
+    assert not any(g == G3 for *_, g in got)  # emptied partition deleted
+    assert ("<http://a>", "<http://p>", "<http://b>", G1) in got  # untouched
+    leftovers = [n for n in os.listdir(store) if n.startswith(".merge-")]
+    assert leftovers == []
+    # second recovery is a no-op (idempotent replay)
+    assert U.recover_store(spark, store) == []
+
+
+def test_recover_rolls_back_uncommitted_staging(spark, store):
+    """Crash BEFORE _COMMITTED: staging + manifest are swept, the store is
+    byte-untouched (same files, same mtimes)."""
+    before = {g: part_files(store, g) for g in (G1, G2, G3)}
+    _fake_crashed_merge(spark, store, committed=False)
+    # orphan staging with no manifest at all is swept too
+    os.makedirs(os.path.join(store, ".merge-staging-0rphan"))
+    U.recover_store(spark, store)
+    assert {g: part_files(store, g) for g in (G1, G2, G3)} == before
+    leftovers = [n for n in os.listdir(store) if n.startswith(".merge-")]
+    assert leftovers == []
+
+
+def test_merge_runs_recovery_first(spark, store):
+    """A crashed committed merge is completed by the NEXT merge before it
+    applies its own delta — no lost update, no duplicate."""
+    _fake_crashed_merge(spark, store, committed=True)
+    delta = spark.createDataFrame(
+        [("insert", "<http://new>", "<http://p>", "<http://x>", G1)],
+        DELTA_SCHEMA,
+    )
+    U.merge_into_store(spark, store, delta)
+    got = quadset(U.read_quad_store(spark, store))
+    assert ("<http://c>", "<http://p>", "<http://NEW>", G2) in got
+    assert ("<http://new>", "<http://p>", "<http://x>", G1) in got
 
 
 def test_null_graph_partition_survives_merge_and_compaction(spark, tmp_path):
