@@ -167,6 +167,34 @@ def merge_into_store(spark: SparkSession, path: str, delta: DataFrame) -> list[s
     return keys
 
 
+def upsert_into_store(
+    spark: SparkSession, path: str, quads: DataFrame
+) -> list[str]:
+    """Insert-only idempotent MERGE: set-union ``quads`` (s,p,o,g) into
+    their graph partitions — rows already present are NOT duplicated
+    (exceptAll against the partition's existing rows), so replaying the
+    same batch converges to identical store content. With the
+    ``recover_store`` commit protocol this is the exactly-once foundation
+    of the streaming sink (streaming.ingest.start_quad_merge_stream):
+    at-least-once micro-batch replay × idempotent upsert = exactly-once
+    store state. Touched partitions only, same staged-swap commit as
+    ``merge_into_store``."""
+    recover_store(spark, path)
+    q = quads.select("s", "p", "o", "g").distinct()
+    keys = [
+        r[_GPART] if r[_GPART] is not None else _HIVE_NULL
+        for r in q.select(_gpart().alias(_GPART)).distinct().collect()
+    ]
+    if not keys:
+        return []
+    # lazy store read is crash-safe here: the staging write consumes it
+    # BEFORE the swap deletes/renames any store directory
+    existing = _read_partitions(spark, path, keys)
+    merged = existing.unionByName(q.exceptAll(existing))
+    _staged_swap(spark, path, keys, merged)
+    return keys
+
+
 def compact_store(
     spark: SparkSession, path: str, keys: list[str] | None = None
 ) -> list[str]:

@@ -93,6 +93,47 @@ def stream_dedup_exact(
     )
 
 
+QUAD_STREAM_SCHEMA = "stmt_idx long, s string, p string, o string, g string"
+
+
+def start_quad_merge_stream(
+    spark: SparkSession,
+    in_path: str,
+    store_path: str,
+    checkpoint: str,
+    trigger_once: bool = True,
+):
+    """Quad stream → per-micro-batch idempotent MERGE into the
+    graph-partitioned quad store (operators.update_diff).
+
+    Exactly-once store state from three at-scale-honest pieces:
+    - the streaming checkpoint replays an uncommitted micro-batch after a
+      crash (at-least-once delivery);
+    - ``upsert_into_store`` is set-union idempotent — a replayed batch
+      produces byte-identical partition content, never duplicates;
+    - ``recover_store`` (run at every upsert) rolls a crash that landed
+      MID-SWAP forward from the commit manifest, so even a kill between
+      partition renames converges.
+    No sink-side dedup state, no driver memory: the upsert touches only the
+    partitions the batch's graphs map to."""
+    quads = spark.readStream.schema(QUAD_STREAM_SCHEMA).parquet(in_path)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from rdf2hk_spark.operators.update_diff import upsert_into_store
+
+        upsert_into_store(batch_df.sparkSession, store_path, batch_df)
+
+    writer = (
+        quads.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_kg_stream(
     spark: SparkSession,
     in_path: str,

@@ -123,6 +123,82 @@ class TestStreamingIngest:
         assert sum(r["n_pages"] for r in rows) == 40
 
 
+class TestQuadMergeStream:
+    """Exactly-once streaming MERGE onto the graph-partitioned store:
+    checkpointed micro-batches × idempotent set-union upsert × the
+    recover_store commit protocol."""
+
+    G1, G2 = "<http://sg/1>", "<http://sg/2>"
+
+    def _quads(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "stmt_idx long, s string, p string, o string, g string"
+        )
+
+    def _run(self, spark, inp, store, ckpt):
+        import time
+
+        q = ingest.start_quad_merge_stream(spark, inp, store, ckpt)
+        q.awaitTermination(120)
+        q.stop()
+        for _ in range(200):  # the query object lingers as active briefly
+            if not q.isActive:
+                break
+            time.sleep(0.05)
+
+    def _store_set(self, spark, store):
+        return {
+            (r["s"], r["p"], r["o"], r["g"])
+            for r in update_diff.read_quad_store(spark, store).collect()
+        }
+
+    def test_exactly_once_across_kill_and_replay(self, spark, tmp_path):
+        inp, store, ckpt = (str(tmp_path / d) for d in ("qin", "qstore", "qck"))
+        batch_a = [
+            (0, "<http://a>", "<http://p>", "<http://b>", self.G1),
+            (1, "<http://c>", "<http://p>", "<http://d>", self.G2),
+        ]
+        self._quads(spark, batch_a).write.parquet(inp)
+        self._run(spark, inp, store, ckpt)
+        expect_a = {(s, p, o, g) for _, s, p, o, g in batch_a}
+        assert self._store_set(spark, store) == expect_a
+
+        # kill-and-restart simulation: the batch COMMITTED to the store but
+        # the streaming commit marker was lost (crash between the two) —
+        # deleting commits/0 (and its crc sidecar, or Spark 4's checkpoint
+        # manager reports a concurrent-use conflict) forces the restarted
+        # query to REPLAY batch 0. The upsert is set-union idempotent, so
+        # the store is unchanged.
+        for f in ("0", ".0.crc"):
+            p = os.path.join(ckpt, "commits", f)
+            if os.path.exists(p):
+                os.remove(p)
+        self._run(spark, inp, store, ckpt)
+        assert self._store_set(spark, store) == expect_a  # no duplicates
+
+        # new file with one overlapping and one new quad: the overlap is
+        # absorbed, the new quad lands, other partitions untouched
+        batch_b = [
+            (2, "<http://c>", "<http://p>", "<http://d>", self.G2),
+            (3, "<http://e>", "<http://p>", "<http://f>", self.G2),
+        ]
+        self._quads(spark, batch_b).write.mode("append").parquet(inp)
+        self._run(spark, inp, store, ckpt)
+        assert self._store_set(spark, store) == expect_a | {
+            ("<http://e>", "<http://p>", "<http://f>", self.G2)
+        }
+
+    def test_upsert_is_idempotent_directly(self, spark, tmp_path):
+        store = str(tmp_path / "ustore")
+        quads = self._quads(
+            spark, [(0, "<http://a>", "<http://p>", "<http://b>", self.G1)]
+        )
+        k1 = update_diff.upsert_into_store(spark, store, quads)
+        k2 = update_diff.upsert_into_store(spark, store, quads)
+        assert k1 == k2
+        assert len(self._store_set(spark, store)) == 1
+
+
 class TestStatefulDedup:
     def _run(self, spark, inp, ckpt, outp):
         docs = spark.readStream.schema("doc_id long, text string").parquet(inp)
