@@ -629,6 +629,18 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def q_ann_lsh_multiprobe(spark, sf_dir):
+    """Multiprobe LSH top-k: each query visits its own bucket plus the 8
+    Hamming-1 flip buckets — recovers the rank that single-bucket
+    truncation loses in thin buckets (see test_scale_fixes recall test),
+    corpus-side work still bucket-bounded."""
+    e = _embs(spark, sf_dir)
+    return similarity.ann_topk_lsh(
+        e, e.filter(F.col("vec_id") < 10), k=5, planes=8, dim=64,
+        probe_bits=8,
+    )
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF approximate top-k: nearest-centroid cells (16 deterministic
     centroids), 4 probed cells per query, exact re-rank within."""
@@ -680,7 +692,17 @@ def _neardup_corpus(spark, sf_dir) -> DataFrame:
         (F.col("vec_id") + 2_000_000).alias("vec_id"),
         F.transform(F.col("_raw"), lambda x: x / F.col("_norm")).alias("embedding"),
     )
-    return e.unionByName(dupes).unionByName(near)
+    out = e.unionByName(dupes).unionByName(near)
+    # the corpus feeds tables+2 consumers inside embedding_near_duplicates
+    # (4 bucket passes + both sides of the exact verify) — materialize the
+    # seeded perturbation once instead of re-evaluating its HOF fold per
+    # consumer (measured ~3× on the embed_neardup bench entry)
+    key = (sf_dir, "neardup")
+    cached = _ENTITY_CACHE.get(key)
+    if cached is None:
+        cached = out.localCheckpoint()
+        _ENTITY_CACHE[key] = cached
+    return cached
 
 
 def q_embed_neardup(spark, sf_dir):
@@ -855,6 +877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_trained": q_ann_ivf_trained,
         "embed_neardup": q_embed_neardup,
@@ -1453,6 +1476,50 @@ def oracle_sql() -> dict[str, str]:
               FROM bk q JOIN bk c ON q.bucket = c.bucket AND q.id <> c.id
               JOIN e qe ON qe.id = q.id JOIN e ce ON ce.id = c.id
               WHERE q.id < 10
+            ),
+            r AS (
+              SELECT q_id, cand_id, score_e4,
+                     row_number() OVER (PARTITION BY q_id
+                                        ORDER BY score_e4 DESC, cand_id) AS rnk
+              FROM sc
+            )
+            SELECT q_id, rnk::INTEGER AS rank, cand_id, score_e4
+            FROM r WHERE rnk <= 5
+        """,
+        "ann_lsh_multiprobe": f"""
+            WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            b AS (
+              SELECT id, p,
+                     list_sum(list_transform(generate_series(1, len(v)),
+                       d -> v[d] * ({_W_PD} / 1000000.0 - 0.5))) AS s
+              FROM e CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS p) ps
+            ),
+            bk AS (
+              SELECT id,
+                     string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, ''
+                                ORDER BY p) AS bucket
+              FROM b GROUP BY id
+            ),
+            probes AS (
+              SELECT id AS q_id, bucket AS pb FROM bk WHERE id < 10
+              UNION ALL
+              SELECT id,
+                     substr(bucket, 1, i - 1)
+                     || (CASE WHEN substr(bucket, i, 1) = '1'
+                         THEN '0' ELSE '1' END)
+                     || substr(bucket, i + 1, 8 - i)
+              FROM bk
+              CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS i) bi
+              WHERE id < 10
+            ),
+            sc AS (
+              SELECT p.q_id, c.id AS cand_id,
+                     CAST(round(list_dot_product(qe.v, ce.v) * 10000) AS BIGINT)
+                       AS score_e4
+              FROM probes p
+              JOIN bk c ON c.bucket = p.pb AND c.id <> p.q_id
+              JOIN e qe ON qe.id = p.q_id JOIN e ce ON ce.id = c.id
             ),
             r AS (
               SELECT q_id, cand_id, score_e4,

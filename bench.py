@@ -119,6 +119,8 @@ def main() -> None:
         "doc_simhash",
         "doc_jaccard",
         "ann_cosine_topk",
+        "ann_lsh_topk",
+        "embed_neardup",
         "doc_quality",
         "doc_fingerprint",
     ):

@@ -313,23 +313,44 @@ def embedding_near_duplicates(
     e_ids = embeddings.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
     )
-    cand: DataFrame | None = None
-    for t in range(tables):
-        b = lsh_buckets(
-            embeddings, planes, id_col, vec_col,
-            plane_offset=t * planes, dim=dim,
-        )
-        sized = b.groupBy("bucket").agg(F.count("*").alias("n")).filter(
-            (F.col("n") > 1) & (F.col("n") <= max_bucket)
-        ).select("bucket")
-        bb = b.join(sized, "bucket")
-        pairs_t = (
-            bb.select("bucket", F.col("id").alias("a"))
-            .join(bb.select("bucket", F.col("id").alias("b")), "bucket")
-            .filter(F.col("a") < F.col("b"))
-            .select("a", "b")
-        )
-        cand = pairs_t if cand is None else cand.unionByName(pairs_t)
+    # ALL tables' signatures in one projection over ONE corpus scan —
+    # table t's planes are plane_weights(planes, dim, t·planes), and the
+    # table index becomes part of the bucket KEY, so the per-table sizing /
+    # capping / pairing collapses into three keyed shuffles total instead
+    # of three per table
+    vec = F.col(vec_col)
+
+    def table_bucket(t: int) -> F.Column:
+        bits = []
+        for w in plane_weights(planes, dim, t * planes):
+            wl = F.array(*[F.lit(x) for x in w])
+            s = F.aggregate(
+                F.zip_with(vec, wl, lambda x, wv: x.cast("double") * wv),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bits.append(F.when(s > 0, F.lit("1")).otherwise(F.lit("0")))
+        return F.concat(*bits)
+
+    b_all = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.array(*[table_bucket(t) for t in range(tables)])
+        ).alias("tbl", "bucket"),
+    )
+    sized = (
+        b_all.groupBy("tbl", "bucket")
+        .agg(F.count("*").alias("n"))
+        .filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
+        .select("tbl", "bucket")
+    )
+    bb = b_all.join(sized, ["tbl", "bucket"])
+    cand = (
+        bb.select("tbl", "bucket", F.col("id").alias("a"))
+        .join(bb.select("tbl", "bucket", F.col("id").alias("b")), ["tbl", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+    )
     if tables > 1:
         # a pair can collide in several tables — dedup BEFORE scoring so each
         # candidate pays the exact-cosine verify exactly once
@@ -359,10 +380,20 @@ def ann_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    probe_bits: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's LSH bucket; exact
     re-rank within. Same output shape as cosine_topk (rank may be < k when a
-    bucket is thin — that is the approximation)."""
+    bucket is thin — that is the approximation).
+
+    ``probe_bits`` > 0 enables MULTIPROBE: each query also visits the
+    buckets obtained by flipping each of its first ``probe_bits`` signature
+    bits (Hamming-1 neighbors — the buckets a near-miss hyperplane vote
+    lands in). Probing multiplies only the QUERY side (q·(probe_bits+1)
+    broadcast rows); each candidate lives in exactly one bucket, so no pair
+    is scored twice. Recall rises toward exact as probe_bits → planes while
+    the corpus-side scan stays bucket-bounded — the standard multiprobe
+    trade (Lv et al., VLDB'07)."""
     b = lsh_buckets(embeddings, planes, id_col, vec_col, dim=dim)
     e = embeddings.join(b, embeddings[id_col] == b["id"]).select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"), "bucket"
@@ -370,6 +401,21 @@ def ann_topk_lsh(
     qb = queries.join(b, queries[id_col] == b["id"]).select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "bucket"
     )
+    if probe_bits > 0:
+        own = F.col("bucket")
+
+        def flip(i: int) -> F.Column:  # flip 1-indexed position i
+            bit = F.substring(own, i, 1)
+            return F.concat(
+                F.substring(own, 1, i - 1),
+                F.when(bit == "1", F.lit("0")).otherwise(F.lit("1")),
+                F.substring(own, i + 1, planes - i),
+            )
+
+        probes = F.array(own, *[flip(i) for i in range(1, min(probe_bits, planes) + 1)])
+        qb = qb.select(
+            "q_id", "q_vec", F.explode(probes).alias("bucket")
+        )
     scored = (
         e.join(F.broadcast(qb), "bucket")
         .filter(F.col("cand_id") != F.col("q_id"))
