@@ -722,8 +722,9 @@ def _closure_pairs(edges: DataFrame) -> DataFrame:
     """All (src, dst) pairs connected by ≥1 step: semi-naive transitive
     closure — each iteration extends only the LAST round's new pairs by one
     edge (delta join), so iteration k discovers exactly the distance-(k+1)
-    pairs; localCheckpoint per round keeps the plan linear."""
-    paths = _realias(edges.localCheckpoint(), "src", "dst")
+    pairs; localCheckpoint per round keeps the plan linear. ``edges`` is
+    already checkpointed by the caller — no re-materialization here."""
+    paths = _realias(edges, "src", "dst")
     delta = paths
     prev_ckpts: list[DataFrame] = []
     for _ in range(_PATH_MAX_ITERS):

@@ -508,6 +508,20 @@ class TestPropertyPaths:
         )
         assert triv.count() == 2
 
+    def test_optional_question_path_reference_delete_shape(self, tree):
+        # the reference's delete templates wrap REFERENCES_URI? in OPTIONAL
+        # (sparqlfactory.js:718-744): rows keep their bindings when the
+        # zero-or-one hop has no match
+        out = run_sparql(
+            tree,
+            "SELECT ?x ?a WHERE { ?x <http://p/age> ?v ."
+            " OPTIONAL { ?x <http://p/parent>? ?a } }",
+        )
+        got = rows(out)
+        # n1/n2 each match themselves (zero hop) and their parent (one hop)
+        assert ("<n1>", "<n1>") in got and ("<n1>", "<r1>") in got
+        assert ("<n2>", "<n2>") in got and ("<n2>", "<r1>") in got
+
     def test_path_on_variable_predicate_raises(self, tree):
         with pytest.raises(SparqlSyntaxError):
             run_sparql(tree, "SELECT ?x WHERE { ?x ?p* ?o }")
