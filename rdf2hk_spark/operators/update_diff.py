@@ -187,11 +187,16 @@ def upsert_into_store(
     ]
     if not keys:
         return []
-    # lazy store read is crash-safe here: the staging write consumes it
-    # BEFORE the swap deletes/renames any store directory
-    existing = _read_partitions(spark, path, keys)
-    merged = existing.unionByName(q.exceptAll(existing))
-    _staged_swap(spark, path, keys, merged)
+    # lazy store read is crash-safe here (the staging write consumes it
+    # BEFORE the swap deletes/renames any store directory), but it feeds
+    # BOTH the union leg and the exceptAll leg — persist so each touched
+    # partition is scanned once per micro-batch, not twice
+    existing = _read_partitions(spark, path, keys).persist()
+    try:
+        merged = existing.unionByName(q.exceptAll(existing))
+        _staged_swap(spark, path, keys, merged)
+    finally:
+        existing.unpersist()
     return keys
 
 
@@ -260,9 +265,21 @@ def _read_partitions(
     )
 
 
-def recover_store(spark: SparkSession, path: str) -> list[str]:
+def recover_store(
+    spark: SparkSession, path: str, orphan_grace_seconds: float = 0.0
+) -> list[str]:
     """Crash recovery + garbage collection, run at the start of every merge/
     compaction (callable standalone as a maintenance job):
+
+    SINGLE-WRITER CONTRACT: the store assumes one writer at a time
+    (merge/upsert/compact/recover) — the same contract a Hive-style
+    insert-overwrite table has. A concurrent writer's in-flight staging dir
+    (no manifest yet) is indistinguishable from pre-commit crash garbage
+    and would be swept. When invoking recover_store OUT-OF-BAND (a cron
+    maintenance job that cannot exclude a live writer), pass
+    ``orphan_grace_seconds`` > the longest plausible staging write so only
+    stale orphans are collected; manifest-backed recovery is unaffected
+    (a sealed manifest means the writer is gone or crashed mid-swap).
 
     - a ``.merge-commit-<id>`` manifest WITHOUT its ``_COMMITTED`` marker
       (crash while staging) is rolled back: manifest and staging deleted,
@@ -311,11 +328,18 @@ def recover_store(spark: SparkSession, path: str) -> list[str]:
         fs.delete(HPath(staging), True)
         fs.delete(HPath(mdir), True)
         handled.append(mid)
-    for n in names:
+    import time as _time
+
+    now_ms = _time.time() * 1000
+    for st in fs.listStatus(HPath(path)):
+        n = st.getPath().getName()
         if n.startswith(".merge-staging-"):
             mid = n[len(".merge-staging-"):]
-            if not fs.exists(HPath(f"{path}/.merge-commit-{mid}")):
-                fs.delete(HPath(f"{path}/{n}"), True)
+            if fs.exists(HPath(f"{path}/.merge-commit-{mid}")):
+                continue  # handled (or will be) by manifest recovery
+            if now_ms - st.getModificationTime() < orphan_grace_seconds * 1000:
+                continue  # possibly a live writer's in-flight staging
+            fs.delete(HPath(f"{path}/{n}"), True)
     return handled
 
 

@@ -39,6 +39,39 @@ def plane_weights(
     ]
 
 
+def _bucket_expr(vec: F.Column, weights: list[list[float]]) -> F.Column:
+    """The planes-bit '0'/'1' bucket string for one weight table — the ONE
+    definition of the sign-of-dot fold (tie rule: s > 0), shared by
+    ``lsh_buckets`` and ``embedding_near_duplicates`` so the parity-critical
+    float sequence cannot drift between the ANN and near-dup paths."""
+    bits = []
+    for w in weights:
+        wl = F.array(*[F.lit(x) for x in w])
+        s = F.aggregate(
+            F.zip_with(vec, wl, lambda x, wv: x.cast("double") * wv),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(s > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def _dim_guarded(vec: F.Column, dim: int, expr: F.Column) -> F.Column:
+    """Fail fast on a vector whose width differs from the literal weight
+    table's ``dim``: zip_with would null-pad the mismatch, the fold would go
+    null, and every row would silently land in the all-'0' bucket (zero
+    recall, no error). A wrong answer must never be silent."""
+    return F.when(F.size(vec) == dim, expr).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("lsh bucket: vector width "),
+                F.size(vec).cast("string"),
+                F.lit(f" != weight dim {dim}"),
+            )
+        )
+    )
+
+
 def _infer_dim(embeddings: DataFrame, vec_col: str) -> int:
     """Vector width from one row (array columns carry no length in the
     schema). One single-row job at plan-build time — pass ``dim`` explicitly
@@ -131,20 +164,12 @@ def lsh_buckets(
     when omitted)."""
     if dim is None:
         dim = _infer_dim(embeddings, vec_col)
-    weights = plane_weights(planes, dim, plane_offset)
     vec = F.col(vec_col)
-
-    def bit(w: list[float]) -> F.Column:
-        wl = F.array(*[F.lit(x) for x in w])
-        s = F.aggregate(
-            F.zip_with(vec, wl, lambda x, wv: x.cast("double") * wv),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        return F.when(s > 0, F.lit("1")).otherwise(F.lit("0"))
-
-    sig = F.concat(*[bit(w) for w in weights])
-    return embeddings.select(F.col(id_col).alias("id"), sig.alias("bucket"))
+    sig = _bucket_expr(vec, plane_weights(planes, dim, plane_offset))
+    return embeddings.select(
+        F.col(id_col).alias("id"),
+        _dim_guarded(vec, dim, sig).alias("bucket"),
+    )
 
 
 def _seed_centroids(
@@ -319,23 +344,19 @@ def embedding_near_duplicates(
     # capping / pairing collapses into three keyed shuffles total instead
     # of three per table
     vec = F.col(vec_col)
-
-    def table_bucket(t: int) -> F.Column:
-        bits = []
-        for w in plane_weights(planes, dim, t * planes):
-            wl = F.array(*[F.lit(x) for x in w])
-            s = F.aggregate(
-                F.zip_with(vec, wl, lambda x, wv: x.cast("double") * wv),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            bits.append(F.when(s > 0, F.lit("1")).otherwise(F.lit("0")))
-        return F.concat(*bits)
-
     b_all = embeddings.select(
         F.col(id_col).alias("id"),
         F.posexplode(
-            F.array(*[table_bucket(t) for t in range(tables)])
+            _dim_guarded(
+                vec,
+                dim,
+                F.array(
+                    *[
+                        _bucket_expr(vec, plane_weights(planes, dim, t * planes))
+                        for t in range(tables)
+                    ]
+                ),
+            )
         ).alias("tbl", "bucket"),
     )
     sized = (

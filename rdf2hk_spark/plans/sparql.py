@@ -936,11 +936,15 @@ def _compile_aggregate(frame: DataFrame, q: Query) -> DataFrame:
         raise SparqlSyntaxError(
             f"non-aggregate SELECT variables must appear in GROUP BY: {stray}"
         )
+    seen_aliases: set[str] = set()
     for a in aggs:
         if a.alias in cols:
             raise SparqlSyntaxError(
                 f"aggregate alias ?{a.alias} is already a bound variable"
             )
+        if a.alias in seen_aliases:  # would escape as AMBIGUOUS_REFERENCE
+            raise SparqlSyntaxError(f"duplicate aggregate alias ?{a.alias}")
+        seen_aliases.add(a.alias)
     if not aggs:  # bare GROUP BY: the distinct group keys
         return frame.select(*q.group_by).distinct().select(*plain)
     agg_cols = [_agg_col(a, cols) for a in aggs]

@@ -239,6 +239,18 @@ def test_recover_rolls_back_uncommitted_staging(spark, store):
     assert leftovers == []
 
 
+def test_recover_orphan_grace_spares_fresh_staging(spark, store):
+    """An out-of-band maintenance recover with a grace window must NOT sweep
+    a freshly-written manifest-less staging dir (possibly a live writer);
+    with no grace it is collected as crash garbage."""
+    staging = os.path.join(store, ".merge-staging-fresh1")
+    os.makedirs(staging)
+    U.recover_store(spark, store, orphan_grace_seconds=3600)
+    assert os.path.isdir(staging)  # spared: younger than the grace window
+    U.recover_store(spark, store)  # single-writer context: swept
+    assert not os.path.isdir(staging)
+
+
 def test_merge_runs_recovery_first(spark, store):
     """A crashed committed merge is completed by the NEXT merge before it
     applies its own delta — no lost update, no duplicate."""

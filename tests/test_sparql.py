@@ -605,6 +605,14 @@ class TestAggregates:
                 " { ?c <http://p/parent> ?p } GROUP BY ?p",
             )
 
+    def test_duplicate_alias_raises(self, tree):
+        with pytest.raises(SparqlSyntaxError, match="duplicate"):
+            run_sparql(
+                tree,
+                "SELECT (COUNT(?c) AS ?n) (SUM(?v) AS ?n) WHERE"
+                " { ?c <http://p/parent> ?v }",
+            )
+
     def test_avg_distinct_raises(self, tree):
         with pytest.raises(SparqlSyntaxError):
             run_sparql(
