@@ -307,6 +307,14 @@ def filter_hk(quads: DataFrame) -> DataFrame:
 def scope_to_context(df: DataFrame, context: str) -> DataFrame:
     """Q11 (sparqlhelper.js:296-327): FROM <g> scoping = a parent/g filter
     that Catalyst turns into partition pruning on context-partitioned
-    storage."""
+    storage. When the frame carries the quad store's ``gpart`` partition
+    column (read_quad_store with_partition_key=True), the literal
+    partition-key predicate is added so whole directories prune at
+    planning time — same mechanism as run_sparql's FROM handling."""
     col = "g" if "g" in df.columns else "parent"
-    return df.filter(F.col(col) == context)
+    out = df.filter(F.col(col) == context)
+    if col == "g" and "gpart" in df.columns:
+        from rdf2hk_spark.operators.update_diff import gpart_key
+
+        out = out.filter(F.col("gpart") == gpart_key(context))
+    return out

@@ -118,6 +118,19 @@ def test_sparql_from_prunes_store_partitions(spark, store):
     assert files and all(f"gpart={gpart(G2)}" in f for f in files)
 
 
+def test_scope_to_context_prunes_store_partitions(spark, store):
+    """Q11 via the filter-dict surface: scope_to_context over the keyed
+    store read adds the gpart literal predicate (same pruning as FROM)."""
+    from rdf2hk_spark.plans import query as plans_query
+
+    quads = U.read_quad_store(spark, store, with_partition_key=True)
+    out = plans_query.scope_to_context(quads, G2)
+    assert out.filter(F.col("p") == "<http://p>").count() == 1
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and gpart(G2) in plan
+    assert gpart(G1) not in plan
+
+
 def test_merge_empties_and_creates_partitions(spark, store):
     delta = spark.createDataFrame(
         [
