@@ -823,6 +823,33 @@ def q_kg_sparql_agg(spark, sf_dir):
     )
 
 
+def q_evt_windowed_counts(spark, sf_dir):
+    """Tumbling 10-minute window counts per event_type over the events
+    stream table — the batch twin of the streaming watermark+window path
+    (window_start emitted as epoch seconds: tz-independent on both
+    engines)."""
+    from rdf2hk_spark.ops import events as ev
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.windowed_event_counts(e, "10 minutes").select(
+        # NTZ → epoch seconds via unix_timestamp (session tz is UTC, so it
+        # matches DuckDB's epoch() on the same naive parquet timestamps;
+        # a direct cast NTZ→long is not allowed in Spark 4)
+        F.unix_timestamp(F.col("window_start")).alias("window_start"),
+        "event_type",
+        "n",
+    )
+
+
+def q_evt_sessions(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity): one shuffle by user
+    feeding the lag/cumsum window pair and the per-session rollup."""
+    from rdf2hk_spark.ops import events as ev
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.sessionize(e, gap_minutes=30)
+
+
 def q_doc_token_stats(spark, sf_dir):
     return textstats.token_stats(_docs(spark, sf_dir))
 
@@ -887,6 +914,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_construct": q_kg_sparql_construct,
         "kg_sparql_path": q_kg_sparql_path,
         "kg_sparql_agg": q_kg_sparql_agg,
+        "evt_windowed_counts": q_evt_windowed_counts,
+        "evt_sessions": q_evt_sessions,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
         "doc_langid": q_doc_langid,
@@ -1704,6 +1733,31 @@ def oracle_sql() -> dict[str, str]:
               UNION SELECT p FROM l2
             )
             SELECT DISTINCT id FROM ids
+        """,
+        "evt_windowed_counts": """
+            SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
+                   event_type, count(*)::BIGINT AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "evt_sessions": """
+            WITH x AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS nw
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+              SELECT user_id, ts,
+                     (sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) - 1)::BIGINT
+                       AS session_idx
+              FROM x
+            )
+            SELECT user_id, session_idx, count(*)::BIGINT AS n_events,
+                   min(ts) AS t_start, max(ts) AS t_end
+            FROM s GROUP BY user_id, session_idx
         """,
         "doc_token_stats": """
             SELECT doc_id AS id, length(text)::BIGINT AS n_chars,
