@@ -31,12 +31,14 @@ algebra and compiles to a DataFrame plan:
   joins with localCheckpoint lineage truncation, never a driver-side walk;
 - aggregates ``COUNT([DISTINCT] ?v | *)`` / ``SUM`` / ``MIN`` / ``MAX`` /
   ``AVG`` with ``GROUP BY`` compile to groupBy().agg() (map-side partial
-  aggregation for free). SUM/AVG decode typed-literal numeric values;
-  MIN/MAX order term strings exactly like ORDER BY does.
+  aggregation for free), and ``HAVING (...)`` to a post-aggregation filter
+  whose comparisons treat aggregate aliases as the numeric columns they
+  are. SUM/AVG decode typed-literal numeric values; MIN/MAX order term
+  strings exactly like ORDER BY does.
 
 Subset contract: SELECT / ASK / DESCRIBE / CONSTRUCT queries over the forms
 above. Anything else (sequence/alternative/inverse paths, subqueries,
-HAVING, BIND) raises ``SparqlSyntaxError`` — never a silently wrong answer.
+BIND) raises ``SparqlSyntaxError`` — never a silently wrong answer.
 DESCRIBE-style fetches also exist as ``plans.query.from_uris``; programmatic
 assembly (Q10) is the DataFrame/filter-dict API plus this text entry.
 
@@ -207,9 +209,11 @@ class Query:
     describe_terms: list[str] = field(default_factory=list)  # ?var or <iri>
     template: list["Pattern"] = field(default_factory=list)  # construct
     # aggregate surface: SELECT items in source order — ("var", name) or
-    # ("agg", Aggregate) — plus the GROUP BY variable list
+    # ("agg", Aggregate) — plus the GROUP BY variable list and the HAVING
+    # constraint (an Expr over group keys / aggregate aliases)
     select_items: list[tuple] = field(default_factory=list)
     group_by: list[str] = field(default_factory=list)
+    having: "Expr | None" = None
 
 
 _MAX_DEPTH = 200
@@ -301,6 +305,11 @@ class _Parser:
                 group_by.append(self.next()[1][1:])
             if not group_by:
                 raise SparqlSyntaxError("GROUP BY needs at least one variable")
+        having: Expr | None = None
+        if self.kw("HAVING"):
+            self.expect("punct", "(")
+            having = self.expr()
+            self.expect("punct", ")")
         order: list[tuple[str, bool]] = []
         if self.kw("ORDER"):
             self.expect("word", "BY")
@@ -327,7 +336,7 @@ class _Parser:
             raise SparqlSyntaxError(f"trailing tokens at {self.peek()[1]!r}")
         return Query(
             variables, distinct, from_graphs, where, order, limit,
-            select_items=select_items, group_by=group_by,
+            select_items=select_items, group_by=group_by, having=having,
         )
 
     _AGG_FUNCS = ("COUNT", "SUM", "MIN", "MAX", "AVG")
@@ -588,29 +597,36 @@ def _numeric(col: Column) -> Column:
     return T.literal_value(col).try_cast("double")
 
 
-def _operand_col(operand, frame_cols: set[str]):
+def _operand_col(operand, frame_cols: set[str], numeric_cols: set[str] = frozenset()):
     kind, v = operand
     if kind == "var":
         if v not in frame_cols:
             raise SparqlSyntaxError(f"unbound variable ?{v} in FILTER")
-        return F.col(v), False
+        # a column that is ALREADY numeric (an aggregate alias in HAVING)
+        # must not go through the term-string literal decode
+        return F.col(v), v in numeric_cols
     if kind == "num":
         return F.lit(v), True
     return F.lit(v), False
 
 
-def _compile_expr(e: Expr, frame_cols: set[str], _depth: int = 0) -> Column:
+def _compile_expr(
+    e: Expr,
+    frame_cols: set[str],
+    _depth: int = 0,
+    numeric_cols: set[str] = frozenset(),
+) -> Column:
     if _depth > _MAX_DEPTH:
         # long || / && chains parse iteratively but nest the Expr tree —
         # bound the compiler the same way the parser bounds groups/parens
         raise SparqlSyntaxError(f"FILTER expression deeper than {_MAX_DEPTH}")
     d = _depth + 1
     if e.op == "and":
-        return _compile_expr(e.args[0], frame_cols, d) & _compile_expr(e.args[1], frame_cols, d)
+        return _compile_expr(e.args[0], frame_cols, d, numeric_cols) & _compile_expr(e.args[1], frame_cols, d, numeric_cols)
     if e.op == "or":
-        return _compile_expr(e.args[0], frame_cols, d) | _compile_expr(e.args[1], frame_cols, d)
+        return _compile_expr(e.args[0], frame_cols, d, numeric_cols) | _compile_expr(e.args[1], frame_cols, d, numeric_cols)
     if e.op == "not":
-        return ~_compile_expr(e.args[0], frame_cols, d)
+        return ~_compile_expr(e.args[0], frame_cols, d, numeric_cols)
     if e.op == "bound":
         var = e.args[0]
         return F.col(var).isNotNull() if var in frame_cols else F.lit(False)
@@ -626,13 +642,14 @@ def _compile_expr(e: Expr, frame_cols: set[str], _depth: int = 0) -> Column:
         out = F.lit(False)
         for operand in e.args[1]:
             out = out | _compile_expr(
-                Expr("cmp", ["=", e.args[0], operand]), frame_cols, d
+                Expr("cmp", ["=", e.args[0], operand]), frame_cols, d,
+                numeric_cols,
             )
         return out
     if e.op == "cmp":
         op, lhs, rhs = e.args
-        lcol, lnum = _operand_col(lhs, frame_cols)
-        rcol, rnum = _operand_col(rhs, frame_cols)
+        lcol, lnum = _operand_col(lhs, frame_cols, numeric_cols)
+        rcol, rnum = _operand_col(rhs, frame_cols, numeric_cols)
         if lnum or rnum:
             # numeric comparison: decode typed-literal values
             if not lnum:
@@ -946,9 +963,26 @@ def _compile_aggregate(frame: DataFrame, q: Query) -> DataFrame:
             raise SparqlSyntaxError(f"duplicate aggregate alias ?{a.alias}")
         seen_aliases.add(a.alias)
     if not aggs:  # bare GROUP BY: the distinct group keys
-        return frame.select(*q.group_by).distinct().select(*plain)
+        keys = frame.select(*q.group_by).distinct()
+        if q.having is not None:
+            keys = keys.filter(_compile_expr(q.having, set(keys.columns)))
+        return keys.select(*plain)
     agg_cols = [_agg_col(a, cols) for a in aggs]
     grouped = frame.groupBy(*q.group_by).agg(*agg_cols)
+    if q.having is not None:
+        # HAVING scope: group keys + aggregate aliases, BEFORE projection;
+        # alias columns are already numeric — no term-string decode
+        numeric = {
+            name
+            for name, dt in grouped.dtypes
+            if dt in ("tinyint", "smallint", "int", "bigint", "float", "double")
+            or dt.startswith("decimal")
+        }
+        grouped = grouped.filter(
+            _compile_expr(
+                q.having, set(grouped.columns), numeric_cols=numeric
+            )
+        )
     projection = [
         name if kind == "var" else name.alias
         for kind, name in q.select_items
@@ -1103,6 +1137,8 @@ def run_sparql(quads: DataFrame, text: str, hide_hk: bool = False) -> DataFrame:
     if q.group_by or any(kind == "agg" for kind, _ in q.select_items):
         out = _compile_aggregate(frame, q)
     else:
+        if q.having is not None:
+            raise SparqlSyntaxError("HAVING requires GROUP BY or aggregates")
         variables = q.variables or sorted(frame.columns)
         missing = [v for v in variables if v not in frame.columns]
         if missing:

@@ -621,6 +621,28 @@ class TestAggregates:
                 " { ?x <http://p/age> ?v }",
             )
 
+    def test_having_filters_groups(self, tree):
+        out = run_sparql(
+            tree,
+            "SELECT ?p (COUNT(?c) AS ?n) WHERE { ?c <http://p/parent> ?p }"
+            " GROUP BY ?p HAVING(?n >= 2)",
+        )
+        assert rows(out) == [("<r1>", 2), ("<root>", 2)]
+        # bare GROUP BY (no aggregates): HAVING filters the group keys
+        out2 = run_sparql(
+            tree,
+            "SELECT ?p WHERE { ?c <http://p/parent> ?p }"
+            " GROUP BY ?p HAVING(?p != <root>)",
+        )
+        assert rows(out2) == [("<r1>",), ("<r2>",)]
+
+    def test_having_without_grouping_raises(self, tree):
+        with pytest.raises(SparqlSyntaxError, match="HAVING"):
+            run_sparql(
+                tree,
+                "SELECT ?c WHERE { ?c <http://p/parent> ?p } HAVING(?c != <n1>)",
+            )
+
     def test_order_by_aggregate_alias(self, tree):
         out = run_sparql(
             tree,
