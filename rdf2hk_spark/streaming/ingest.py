@@ -134,6 +134,74 @@ def start_quad_merge_stream(
     return writer.start()
 
 
+def stream_sessionize(
+    events: DataFrame, gap_minutes: int = 30
+) -> DataFrame:
+    """Cross-micro-batch gap sessionization via ``applyInPandasWithState``,
+    sharded by user_id — the streaming twin of ``ops.events.sessionize``.
+
+    State per user: (session_idx, start, last, n) with epoch-second longs
+    (tz-proof). Each batch sorts its user-slice by time, extends or opens
+    sessions by the gap rule, and emits ONE snapshot row per session
+    TOUCHED in the batch (outputMode update) — downstream keeps the latest
+    row per (user_id, session_idx). In-order delivery per user is assumed
+    across batches (enforce with a watermark + sorted file drops upstream);
+    an out-of-order event older than the open session's last timestamp
+    extends that session rather than reopening closed ones.
+
+    At 10^12-event scale the state store shards by user exactly like the
+    batch shuffle; no driver state, state size = one row per ACTIVE user."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = events.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.unix_timestamp("ts").alias("ets"),
+    )
+    gap = gap_minutes * 60
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        ts_list: list[int] = []
+        for pdf in pdfs:
+            ts_list.extend(int(x) for x in pdf["ets"])
+        ts_list.sort()
+        if state.exists:
+            idx, start, last, n = state.get
+        else:
+            idx, start, last, n = -1, 0, None, 0
+        touched: dict[int, tuple[int, int, int]] = {}
+        for t in ts_list:
+            if last is None or t - last > gap:
+                idx += 1
+                start, n = t, 1
+            else:
+                n += 1
+            last = max(last, t) if last is not None else t
+            touched[idx] = (start, last, n)
+        state.update((idx, start, int(last), n))
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": key[0], "session_idx": i,
+                    "n_events": v[2], "t_start": v[0], "t_end": v[1],
+                }
+                for i, v in sorted(touched.items())
+            ]
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "user_id long, session_idx long, n_events long,"
+            " t_start long, t_end long"
+        ),
+        stateStructType="session_idx long, start long, last long, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def start_kg_stream(
     spark: SparkSession,
     in_path: str,

@@ -199,6 +199,66 @@ class TestQuadMergeStream:
         assert len(self._store_set(spark, store)) == 1
 
 
+class TestStreamSessionize:
+    def test_matches_batch_sessionize_across_batches(self, spark, tmp_path, sf_dir):
+        """Streamed gap-sessionization over two time-ordered micro-batches
+        must converge to the BATCH sessionize result (ops.events) — the
+        cross-batch state carries open sessions over the file boundary."""
+        from rdf2hk_spark.ops import events as ev_ops
+
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        med = events.approxQuantile("event_id", [0.5], 0.0)[0]
+        inp, outp, ckpt = (
+            str(tmp_path / d) for d in ("ein", "eout", "eck")
+        )
+        # two files split at the time median (event_id is time-ordered) so
+        # maxFilesPerTrigger=1 yields two batches in ts order
+        events.filter(F.col("event_id") <= med).coalesce(1).write.parquet(inp)
+        events.filter(F.col("event_id") > med).coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+
+        stream = spark.readStream.schema(events.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(inp)
+        out = ingest.stream_sessionize(stream, gap_minutes=60)
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(outp)
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("update").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+        # latest snapshot per (user, session): n_events grows monotonically
+        got = (
+            spark.read.parquet(outp)
+            .groupBy("user_id", "session_idx")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.min("t_start").alias("t_start"),
+                F.max("t_end").alias("t_end"),
+            )
+        )
+        batch = ev_ops.sessionize(events, gap_minutes=60).select(
+            "user_id", "session_idx", "n_events",
+            F.unix_timestamp("t_start").alias("t_start"),
+            F.unix_timestamp("t_end").alias("t_end"),
+        )
+        g = sorted(map(tuple, got.collect()))
+        b = sorted(map(tuple, batch.collect()))
+        assert g == b
+        # and the split genuinely produced >1 batch (state was exercised)
+        n_batches = len(
+            [f for f in os.listdir(os.path.join(ckpt, "commits"))
+             if not f.startswith(".")]
+        )
+        assert n_batches >= 2
+
+
 class TestStatefulDedup:
     def _run(self, spark, inp, ckpt, outp):
         docs = spark.readStream.schema("doc_id long, text string").parquet(inp)
