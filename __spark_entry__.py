@@ -823,6 +823,20 @@ def q_kg_sparql_agg(spark, sf_dir):
     )
 
 
+def q_kg_pagerank(spark, sf_dir):
+    """Fixed-point PageRank (3 iterations, ×10^4 integer ranks — the
+    ivf_train reproducibility playbook) over the corpus's resource-link
+    graph: entity importance for linking candidate ranking."""
+    from rdf2hk_spark.ops.graph import pagerank
+
+    quads = tpch_kg.quads_df(spark, sf_dir)
+    edges = (
+        quads.filter(F.col("o").startswith("<"))
+        .select(F.col("s").alias("src"), F.col("o").alias("dst"))
+    )
+    return pagerank(edges, iters=3).select("node", "rank_e4")
+
+
 def q_evt_windowed_counts(spark, sf_dir):
     """Tumbling 10-minute window counts per event_type over the events
     stream table — the batch twin of the streaming watermark+window path
@@ -914,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_construct": q_kg_sparql_construct,
         "kg_sparql_path": q_kg_sparql_path,
         "kg_sparql_agg": q_kg_sparql_agg,
+        "kg_pagerank": q_kg_pagerank,
         "evt_windowed_counts": q_evt_windowed_counts,
         "evt_sessions": q_evt_sessions,
         "doc_token_stats": q_doc_token_stats,
@@ -1733,6 +1748,47 @@ def oracle_sql() -> dict[str, str]:
               UNION SELECT p FROM l2
             )
             SELECT DISTINCT id FROM ids
+        """,
+        "kg_pagerank": f"""
+            WITH {_Q},
+            ed AS (
+              SELECT DISTINCT s AS src, o AS dst FROM quads
+              WHERE substr(o, 1, 1) = '<'
+            ),
+            outd AS (SELECT src, count(*) AS od FROM ed GROUP BY src),
+            nodes AS (SELECT src AS n FROM ed UNION SELECT dst FROM ed),
+            r0 AS (SELECT n, 10000::BIGINT AS r FROM nodes),
+            c1 AS (
+              SELECT e.dst AS n, sum(r.r / o.od) AS c
+              FROM ed e JOIN r0 r ON r.n = e.src JOIN outd o ON o.src = e.src
+              GROUP BY e.dst
+            ),
+            r1 AS (
+              SELECT nodes.n,
+                     CAST(round(1500 + 0.85 * coalesce(c1.c, 0)) AS BIGINT) AS r
+              FROM nodes LEFT JOIN c1 ON c1.n = nodes.n
+            ),
+            c2 AS (
+              SELECT e.dst AS n, sum(r.r / o.od) AS c
+              FROM ed e JOIN r1 r ON r.n = e.src JOIN outd o ON o.src = e.src
+              GROUP BY e.dst
+            ),
+            r2 AS (
+              SELECT nodes.n,
+                     CAST(round(1500 + 0.85 * coalesce(c2.c, 0)) AS BIGINT) AS r
+              FROM nodes LEFT JOIN c2 ON c2.n = nodes.n
+            ),
+            c3 AS (
+              SELECT e.dst AS n, sum(r.r / o.od) AS c
+              FROM ed e JOIN r2 r ON r.n = e.src JOIN outd o ON o.src = e.src
+              GROUP BY e.dst
+            ),
+            r3 AS (
+              SELECT nodes.n,
+                     CAST(round(1500 + 0.85 * coalesce(c3.c, 0)) AS BIGINT) AS r
+              FROM nodes LEFT JOIN c3 ON c3.n = nodes.n
+            )
+            SELECT n AS node, r AS rank_e4 FROM r3
         """,
         "evt_windowed_counts": """
             SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
