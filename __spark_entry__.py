@@ -606,6 +606,20 @@ def q_doc_jaccard(spark, sf_dir):
     return out
 
 
+def q_doc_dup_clusters(spark, sf_dir):
+    """Pairs → CLUSTERS: connected components over the LSH candidate-pair
+    graph, every member labeled with its component's minimum id (the
+    canonical survivor). Engine runs min-label propagation + pointer
+    jumping to convergence; the oracle derives the same labeling from a
+    recursive reachability closure — iteration-order independent, so the
+    hash match certifies the converged fixpoint itself."""
+    keys = dedup.lsh_band_keys(
+        _docs(spark, sf_dir), k=3, num_hashes=16, bands=4, rows_per_band=4
+    )
+    pairs = dedup.lsh_candidate_pairs_from_keys(keys, max_bucket=50)
+    return dedup.duplicate_clusters(pairs)
+
+
 def q_doc_simhash(spark, sf_dir):
     return dedup.simhash(_docs(spark, sf_dir), bits=16)
 
@@ -914,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash": q_doc_minhash,
         "doc_lsh_pairs": q_doc_lsh_pairs,
         "doc_jaccard": q_doc_jaccard,
+        "doc_dup_clusters": q_doc_dup_clusters,
         "doc_simhash": q_doc_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
@@ -1445,6 +1460,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, inter, za.sz + zb.sz - inter AS uni
             FROM inter
             JOIN szs za ON za.id = a JOIN szs zb ON zb.id = b
+        """,
+        "doc_dup_clusters": f"""
+            WITH RECURSIVE {_DOC_SH}, {_MINHASH_CTE}, {_BANDS_CTE},
+            prs AS (
+              SELECT DISTINCT k1.id AS a, k2.id AS b
+              FROM keys k1
+              JOIN keys k2 ON k1.band = k2.band AND k1.bkey = k2.bkey
+                          AND k1.id < k2.id
+              JOIN bsz ON bsz.band = k1.band AND bsz.bkey = k1.bkey
+              WHERE bsz.n BETWEEN 2 AND 50
+            ),
+            und AS (
+              SELECT a::VARCHAR AS a, b::VARCHAR AS b FROM prs
+              UNION SELECT b::VARCHAR, a::VARCHAR FROM prs
+            ),
+            reach AS (
+              SELECT a AS id, b AS m FROM und
+              UNION
+              SELECT r.id, u.b FROM reach r JOIN und u ON u.a = r.m
+            )
+            SELECT id, CAST(min(CAST(m AS BIGINT)) AS VARCHAR) AS keep_id
+            FROM reach GROUP BY id
         """,
         "doc_simhash": """
             WITH tok AS (

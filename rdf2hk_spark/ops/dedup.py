@@ -297,6 +297,113 @@ def jaccard_pairs(
     )
 
 
+def duplicate_clusters(
+    pairs: DataFrame, iters: int | None = None, max_iters: int = 32
+) -> DataFrame:
+    """Connected components over a candidate-pair graph → (id, keep_id):
+    every member of a duplicate cluster mapped to the cluster's minimum id
+    (the canonical survivor) — the step that turns near-dup PAIRS
+    (lsh_candidate_pairs / embedding_near_duplicates) into actionable
+    dedup clusters. Ids are strings or ints; singletons never appear.
+
+    Algorithm: min-label propagation with pointer jumping. Each round every
+    node adopts the smallest label in its neighborhood (one join + one
+    min-aggregate over the undirected edge list), then labels compress by
+    one label-of-label join — convergence in O(log diameter) rounds, each
+    round two keyed shuffles, localCheckpoint keeping the plan linear.
+
+    ``iters`` fixes the round count (engine-reproducible mid-state, what
+    the unrolled SQL oracle mirrors); default runs to CONVERGENCE (label
+    set stable), bounded by ``max_iters`` — a chain of 2^32 diameter is not
+    a realistic dup cluster, and hitting the bound raises rather than
+    returning a silently-unconverged labeling."""
+    e = pairs.select(F.col("a").cast("string"), F.col("b").cast("string"))
+    und = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    # shortlex ordering agrees with numeric order for digit strings — the
+    # same survivor rule as exact_duplicates' numeric min for integer ids
+    sl = lambda c: F.struct(F.length(c).alias("n"), c.alias("s"))
+
+    labels = (
+        und.select(F.col("a").alias("id"), F.col("b").alias("nb"))
+        .groupBy("id")
+        .agg(F.min(sl(F.col("nb"))).alias("m"))
+        .select(
+            "id",
+            F.when(sl(F.col("m.s")) < sl(F.col("id")), F.col("m.s"))
+            .otherwise(F.col("id"))
+            .alias("lbl"),
+        )
+    )
+    rounds = 0
+    prev_ck = None
+    while True:
+        rounds += 1
+        if iters is None and rounds > max_iters:
+            raise ValueError(
+                f"duplicate_clusters did not converge in {max_iters} rounds"
+            )
+        # neighborhood min: smallest label among self and neighbors
+        nb_min = (
+            und.select(F.col("a").alias("id"), F.col("b").alias("nb"))
+            .join(
+                labels.select(F.col("id").alias("nb"), F.col("lbl").alias("nl")),
+                "nb",
+            )
+            .groupBy("id")
+            .agg(F.min(sl(F.col("nl"))).alias("m"))
+            .select("id", F.col("m.s").alias("nl"))
+        )
+        stepped = (
+            labels.join(nb_min, "id", "left")
+            .select(
+                "id",
+                F.when(
+                    F.col("nl").isNotNull()
+                    & (sl(F.col("nl")) < sl(F.col("lbl"))),
+                    F.col("nl"),
+                ).otherwise(F.col("lbl")).alias("lbl"),
+            )
+        )
+        # pointer jumping: lbl := label(lbl) — halves chain depth per round
+        jumped = (
+            stepped.join(
+                stepped.select(
+                    F.col("id").alias("lbl"), F.col("lbl").alias("ll")
+                ),
+                "lbl",
+                "left",
+            )
+            .select(
+                "id",
+                F.when(
+                    F.col("ll").isNotNull() & (sl(F.col("ll")) < sl(F.col("lbl"))),
+                    F.col("ll"),
+                ).otherwise(F.col("lbl")).alias("lbl"),
+            )
+        )
+        new_ck = jumped.localCheckpoint()
+        changed = (
+            iters is None
+            and new_ck.join(
+                labels.withColumnRenamed("lbl", "old"), "id"
+            ).filter(F.col("lbl") != F.col("old")).limit(1).count() > 0
+        )
+        if prev_ck is not None:
+            prev_ck.unpersist()
+        prev_ck = new_ck
+        labels = new_ck.select(
+            F.col("id").alias("id"), F.col("lbl").alias("lbl")
+        )
+        if iters is not None:
+            if rounds >= iters:
+                break
+        elif not changed:
+            break
+    return labels.select("id", F.col("lbl").alias("keep_id"))
+
+
 def simhash(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
 ) -> DataFrame:

@@ -92,6 +92,35 @@ def test_multiprobe_lsh_beats_single_bucket_recall(spark, sf_dir):
     assert len(multi) > len(single)
 
 
+def test_duplicate_clusters_transitive_components(spark):
+    # chain 1-2, 2-3 plus separate 7-9: components collapse to their min id
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (9, 7)], "a long, b long"
+    )
+    got = {
+        (r["id"], r["keep_id"])
+        for r in dedup.duplicate_clusters(pairs).collect()
+    }
+    assert got == {
+        ("1", "1"), ("2", "1"), ("3", "1"), ("7", "7"), ("9", "7"),
+    }
+
+
+def test_duplicate_clusters_long_chain_converges(spark):
+    # a 40-node path needs label propagation well past one round; pointer
+    # jumping converges in O(log n) — and the bounded default must converge,
+    # not raise
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "a long, b long"
+    )
+    out = dedup.duplicate_clusters(pairs).collect()
+    assert {r["keep_id"] for r in out} == {"0"}
+    assert len(out) == 41
+    # fixed-iteration variant is reproducible mid-state (no convergence run)
+    two = dedup.duplicate_clusters(pairs, iters=2).collect()
+    assert len(two) == 41
+
+
 def test_exact_dedup_non_vacuous(spark):
     d = spark.createDataFrame(
         [(1, "same text"), (2, "same text"), (3, "other"), (4, "same text")],
