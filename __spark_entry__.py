@@ -853,17 +853,18 @@ def q_kg_pagerank(spark, sf_dir):
 
 def q_evt_windowed_counts(spark, sf_dir):
     """Tumbling 10-minute window counts per event_type over the events
-    stream table — the batch twin of the streaming watermark+window path
-    (window_start emitted as epoch seconds: tz-independent on both
-    engines)."""
+    stream table — the batch twin of the streaming watermark+window path.
+    window_start is emitted as a wall-clock STRING: formatting an NTZ value
+    never consults the session timezone, so the comparison holds whatever
+    timezone the driver's own SparkSession runs in (unix_timestamp would
+    shift with spark.sql.session.timeZone)."""
     from rdf2hk_spark.ops import events as ev
 
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     return ev.windowed_event_counts(e, "10 minutes").select(
-        # NTZ → epoch seconds via unix_timestamp (session tz is UTC, so it
-        # matches DuckDB's epoch() on the same naive parquet timestamps;
-        # a direct cast NTZ→long is not allowed in Spark 4)
-        F.unix_timestamp(F.col("window_start")).alias("window_start"),
+        F.date_format(F.col("window_start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
         "event_type",
         "n",
     )
@@ -1828,7 +1829,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT n AS node, r AS rank_e4 FROM r3
         """,
         "evt_windowed_counts": """
-            SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
+            SELECT strftime(ts - to_microseconds(epoch_us(ts) % 600000000),
+                            '%Y-%m-%d %H:%M:%S') AS window_start,
                    event_type, count(*)::BIGINT AS n
             FROM events GROUP BY 1, 2
         """,
@@ -1836,9 +1838,10 @@ def oracle_sql() -> dict[str, str]:
             WITH x AS (
               SELECT user_id, ts, event_id,
                      CASE WHEN lag(ts) OVER w IS NULL
-                            OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                               > 1800000000
                           THEN 1 ELSE 0 END AS nw
-              FROM events
+              FROM events WHERE ts IS NOT NULL
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ),
             s AS (

@@ -318,9 +318,12 @@ def duplicate_clusters(
     a realistic dup cluster, and hitting the bound raises rather than
     returning a silently-unconverged labeling."""
     e = pairs.select(F.col("a").cast("string"), F.col("b").cast("string"))
+    # materialize the undirected edge list ONCE: every propagation round
+    # joins it, and without this the whole upstream candidate-pair pipeline
+    # (at corpus scale: the full LSH derivation) would re-execute per round
     und = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    )
+    ).localCheckpoint()
     # shortlex ordering agrees with numeric order for digit strings — the
     # same survivor rule as exact_duplicates' numeric min for integer ids
     sl = lambda c: F.struct(F.length(c).alias("n"), c.alias("s"))
@@ -341,6 +344,9 @@ def duplicate_clusters(
     while True:
         rounds += 1
         if iters is None and rounds > max_iters:
+            und.unpersist()
+            if prev_ck is not None:
+                prev_ck.unpersist()
             raise ValueError(
                 f"duplicate_clusters did not converge in {max_iters} rounds"
             )
@@ -401,6 +407,7 @@ def duplicate_clusters(
                 break
         elif not changed:
             break
+    und.unpersist()
     return labels.select("id", F.col("lbl").alias("keep_id"))
 
 

@@ -40,21 +40,29 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     session: (user_id, session_idx, n_events, t_start, t_end) with
     session_idx 0-based in time order.
 
+    The gap compares MICROSECOND-exact integer differences
+    (timestampdiff), not floor-seconds — an event 1800.4 s after its
+    predecessor opens a new 30-min-gap session on every engine, with no
+    sub-second boundary ambiguity and no session-timezone/DST dependence
+    (wall-clock arithmetic on the naive timestamps). Events with a null
+    timestamp are DROPPED (documented; the streaming twin does the same).
+
     Shape: ONE shuffle by user_id feeds both window functions (lag → new-
     session flag, running sum → session index) and the final groupBy reuses
     the same partitioning — Catalyst plans a single Exchange."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev_ts = F.lag("ts").over(w)
-    is_new = F.when(
-        prev_ts.isNull()
-        | (
-            F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)
-            > gap_minutes * 60
-        ),
-        F.lit(1),
-    ).otherwise(F.lit(0))
-    with_sess = events.select(
-        "user_id", "ts", "event_id", is_new.alias("_new")
+    gap_us = F.lit(gap_minutes * 60 * 1_000_000)
+    base = (
+        events.filter(F.col("ts").isNotNull())
+        .select("user_id", "ts", "event_id")
+        .withColumn("_prev", F.lag("ts").over(w))
+    )
+    diff_us = F.expr("timestampdiff(MICROSECOND, _prev, ts)")
+    with_sess = base.withColumn(
+        "_new",
+        F.when(
+            F.col("_prev").isNull() | (diff_us > gap_us), F.lit(1)
+        ).otherwise(F.lit(0)),
     ).withColumn(
         "session_idx",
         (F.sum("_new").over(

@@ -7,8 +7,11 @@ engine-exact verifiability, the ivf_train playbook:
 
 - ranks are FIXED-POINT integers (×``scale``): each iteration re-rounds to
   a long, so double summation-order differences between engines (and
-  between partitionings) are absorbed at every step and the result is
-  bit-reproducible;
+  between partitionings) are absorbed at every step. Absorption is exact
+  unless a contribution sum lands within ~1 ulp of a .5 rounding boundary
+  (≈1e-13 per node-iteration — the same residual ivf_train accepts); the
+  (1-d)·scale base term is snapped to its exact decimal value so it adds
+  no bias of its own against an oracle's literal;
 - simple-graph edges (distinct (src, dst)); dangling mass is dropped (the
   standard edge-list simplification — dangling nodes keep receiving rank
   but redistribute none), documented rather than hidden;
@@ -51,7 +54,10 @@ def pagerank(
         .localCheckpoint()
     )
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("r"))
-    base = (1.0 - damping) * scale
+    # snap to the exact decimal: (1-0.85)*10000 evaluates to
+    # 1500.0000000000002 in binary, which would bias every node by +2e-13
+    # against an oracle writing the literal 1500
+    base = round((1.0 - damping) * scale * 1e9) / 1e9
     prev = None
     for _ in range(iters):
         contrib = (

@@ -140,31 +140,43 @@ def stream_sessionize(
     """Cross-micro-batch gap sessionization via ``applyInPandasWithState``,
     sharded by user_id — the streaming twin of ``ops.events.sessionize``.
 
-    State per user: (session_idx, start, last, n) with epoch-second longs
-    (tz-proof). Each batch sorts its user-slice by time, extends or opens
-    sessions by the gap rule, and emits ONE snapshot row per session
-    TOUCHED in the batch (outputMode update) — downstream keeps the latest
-    row per (user_id, session_idx). In-order delivery per user is assumed
-    across batches (enforce with a watermark + sorted file drops upstream);
-    an out-of-order event older than the open session's last timestamp
-    extends that session rather than reopening closed ones.
+    State per user: (session_idx, start, last, n) with epoch-MICROSECOND
+    longs derived from the raw datetime64 values — wall-clock arithmetic,
+    no session-timezone dependence, and the same microsecond-exact gap
+    rule as the batch twin. Events with a null timestamp are DROPPED
+    (matching ops.events.sessionize) — they must not wedge the query with
+    a poison-pill batch that crashes on every replay. Each batch sorts its
+    user-slice by time, extends or opens sessions by the gap rule, and
+    emits ONE snapshot row per session TOUCHED in the batch (outputMode
+    update) — downstream keeps the latest row per (user_id, session_idx).
+    In-order delivery per user is assumed across batches (enforce with a
+    watermark + sorted file drops upstream); an out-of-order event older
+    than the open session's last timestamp extends that session rather
+    than reopening closed ones. t_start/t_end are emitted as epoch
+    seconds (floor of the microsecond state).
 
     At 10^12-event scale the state store shards by user exactly like the
     batch shuffle; no driver state, state size = one row per ACTIVE user."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    ev = events.select(
+    ev = events.filter(F.col("ts").isNotNull()).select(
         F.col("user_id").cast("long").alias("user_id"),
-        F.unix_timestamp("ts").alias("ets"),
+        F.col("ts"),
     )
-    gap = gap_minutes * 60
+    gap = gap_minutes * 60 * 1_000_000  # microseconds
 
     def fn(key, pdfs, state):
         import pandas as pd
 
         ts_list: list[int] = []
         for pdf in pdfs:
-            ts_list.extend(int(x) for x in pdf["ets"])
+            col = pd.to_datetime(pdf["ts"]).dropna()
+            vals = col.astype("int64")
+            if str(col.dtype).endswith("[ns]"):
+                vals = vals // 1000  # ns → µs
+            ts_list.extend(int(v) for v in vals)
+        if not ts_list:  # every row of the slice was null-ts — no-op batch
+            return
         ts_list.sort()
         if state.exists:
             idx, start, last, n = state.get
@@ -184,7 +196,9 @@ def stream_sessionize(
             [
                 {
                     "user_id": key[0], "session_idx": i,
-                    "n_events": v[2], "t_start": v[0], "t_end": v[1],
+                    "n_events": v[2],
+                    "t_start": v[0] // 1_000_000,
+                    "t_end": v[1] // 1_000_000,
                 }
                 for i, v in sorted(touched.items())
             ]
