@@ -788,20 +788,16 @@ def q_kg_sparql_construct(spark, sf_dir):
     )
 
 
-def q_kg_sparql_path(spark, sf_dir):
-    """Q10 property path: ``?c <hasParent>* <ctx/r/1>`` over the synthetic
-    region→nation context tree (the reference's own generated form,
-    sparqlfactory.js:800) — the same membership set the kg_context_closure
-    oracle derives, here reached through the SPARQL text surface."""
-    from rdf2hk_spark.plans.sparql import run_sparql
-
+def _ctx_tree_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic region→nation context tree as hasParent quads — the shared
+    input of the SPARQL path oracles."""
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
     region = spark.read.parquet(f"{sf_dir}/region.parquet")
     nk = F.col("n_nationkey").cast("string")
     rk = F.col("r_regionkey").cast("string")
     p = F.lit("<urn:hk:p/hasParent>")
     g = F.lit("<urn:hk:g/ctx>")
-    quads = nation.select(
+    return nation.select(
         F.col("n_nationkey").cast("long").alias("stmt_idx"),
         F.concat(F.lit("<urn:hk:ctx/n/"), nk, F.lit(">")).alias("s"),
         p.alias("p"),
@@ -819,9 +815,32 @@ def q_kg_sparql_path(spark, sf_dir):
             g.alias("g"),
         )
     )
+
+
+def q_kg_sparql_path(spark, sf_dir):
+    """Q10 property path: ``?c <hasParent>* <ctx/r/1>`` over the synthetic
+    region→nation context tree (the reference's own generated form,
+    sparqlfactory.js:800) — the same membership set the kg_context_closure
+    oracle derives, here reached through the SPARQL text surface."""
+    from rdf2hk_spark.plans.sparql import run_sparql
+
     return run_sparql(
-        quads,
+        _ctx_tree_quads(spark, sf_dir),
         "SELECT ?c WHERE { ?c <urn:hk:p/hasParent>* <urn:hk:ctx/r/1> }",
+    )
+
+
+def q_kg_sparql_seq(spark, sf_dir):
+    """Compound path: sequence + inverse — each nation context paired with
+    its SIBLING contexts (same region) via <hasParent>/^<hasParent>,
+    excluding self with a FILTER."""
+    from rdf2hk_spark.plans.sparql import run_sparql
+
+    return run_sparql(
+        _ctx_tree_quads(spark, sf_dir),
+        "SELECT ?a ?b WHERE {"
+        " ?a <urn:hk:p/hasParent>/^<urn:hk:p/hasParent> ?b ."
+        " FILTER(?a != ?b) }",
     )
 
 
@@ -943,6 +962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_describe": q_kg_sparql_describe,
         "kg_sparql_construct": q_kg_sparql_construct,
         "kg_sparql_path": q_kg_sparql_path,
+        "kg_sparql_seq": q_kg_sparql_seq,
         "kg_sparql_agg": q_kg_sparql_agg,
         "kg_pagerank": q_kg_pagerank,
         "evt_windowed_counts": q_evt_windowed_counts,
@@ -1303,6 +1323,20 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.src FROM edges e JOIN reach r ON e.dst = r.c
             )
             SELECT c FROM reach
+        """,
+        "kg_sparql_seq": """
+            WITH ed AS (
+              SELECT '<urn:hk:ctx/n/' || n_nationkey || '>' AS src,
+                     '<urn:hk:ctx/r/' || n_regionkey || '>' AS dst
+              FROM nation
+              UNION ALL
+              SELECT '<urn:hk:ctx/r/' || r_regionkey || '>',
+                     '<urn:hk:ctx/root>'
+              FROM region
+            )
+            SELECT DISTINCT x.src AS a, y.src AS b
+            FROM ed x JOIN ed y ON x.dst = y.dst
+            WHERE x.src <> y.src
         """,
         "kg_sparql_agg": f"""
             WITH {_Q}

@@ -23,12 +23,18 @@ algebra and compiles to a DataFrame plan:
   sparqlhelper.js literal assembly) during tokenization;
 - OPTIONAL → left outer join; UNION → unionByName(allowMissingColumns);
   SELECT [DISTINCT] / ORDER BY / LIMIT;
-- property paths ``<p>*`` / ``<p>+`` / ``<p>?`` on a ground predicate —
-  the forms the reference's own generated SPARQL uses (``hasParent*`` at
-  sparqlfactory.js:800, ``REFERENCES_URI?`` in the delete templates at
-  sparqlfactory.js:718-744) — compile to the same frontier/semi-naive
-  fixpoint machinery as plans.query.context_closure: a bounded loop of
-  joins with localCheckpoint lineage truncation, never a driver-side walk;
+- property paths over ground predicates: modifiers ``*``/``+``/``?``,
+  sequences ``p1/p2``, alternatives ``(p1|p2)``, and inverse ``^p``,
+  composable (e.g. ``^<parent>+``, ``(<a>/<b>)*``). The reference's own
+  generated forms (``hasParent*`` at sparqlfactory.js:800,
+  ``REFERENCES_URI?`` in the delete templates at :718-744) take the
+  BFS-from-ground fast path; compound expressions evaluate to pair
+  relations (union / relational composition / reversal) with the same
+  frontier/semi-naive fixpoint machinery as plans.query.context_closure —
+  bounded loops of joins with localCheckpoint lineage truncation, never a
+  driver-side walk. Zero-length components stay SYMBOLIC through sequence
+  composition (A∘(C ∪ id) = A∘C ∪ A) instead of materializing a
+  universal diagonal;
 - aggregates ``COUNT([DISTINCT] ?v | *)`` / ``SUM`` / ``MIN`` / ``MAX`` /
   ``AVG`` with ``GROUP BY`` compile to groupBy().agg() (map-side partial
   aggregation for free), and ``HAVING (...)`` to a post-aggregation filter
@@ -37,8 +43,8 @@ algebra and compiles to a DataFrame plan:
   strings exactly like ORDER BY does.
 
 Subset contract: SELECT / ASK / DESCRIBE / CONSTRUCT queries over the forms
-above. Anything else (sequence/alternative/inverse paths, subqueries,
-BIND) raises ``SparqlSyntaxError`` — never a silently wrong answer.
+above. Anything else (negated property sets, subqueries, BIND) raises
+``SparqlSyntaxError`` — never a silently wrong answer.
 DESCRIBE-style fetches also exist as ``plans.query.from_uris``; programmatic
 assembly (Q10) is the DataFrame/filter-dict API plus this text entry.
 
@@ -75,7 +81,7 @@ _TOKEN_RE = re.compile(
       | (?P<literal>"(?:[^"\\]|\\.)*"(?:@[A-Za-z0-9-]+|\^\^<[^<>\s]*>)?)
       | (?P<bnode>_:\w+)
       | (?P<num>[+-]?\d+(?:\.\d+)?)
-      | (?P<punct>[{}().,;*+?]|&&|\|\||!=|<=|>=|=|<|>|!)
+      | (?P<punct>&&|\|\||!=|<=|>=|[{}().,;*+?/^|=<>!])
       | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
     )""",
     re.X,
@@ -149,6 +155,36 @@ class Pattern:
     p: str
     o: str
     path: str | None = None  # '*' | '+' | '?' path modifier on a ground p
+    # compound path expression (sequence / alternative / inverse, possibly
+    # with per-element modifiers); when set, ``p``/``path`` are unused
+    pexpr: "object | None" = None
+
+
+# ---- path-expression AST (predicate position) ----
+@dataclass
+class PIri:
+    iri: str
+
+
+@dataclass
+class PInv:
+    inner: object  # ^elt — pairs reversed
+
+
+@dataclass
+class PSeq:
+    parts: list  # elt1 / elt2 / ... — relational composition
+
+
+@dataclass
+class PAlt:
+    options: list  # (e1 | e2 | ...) — union
+
+
+@dataclass
+class PMod:
+    inner: object
+    op: str  # '*' | '+' | '?'
 
 
 @dataclass
@@ -479,22 +515,66 @@ class _Parser:
             return self._term_token()
 
         s = part()
-        p = part()
-        path = None
-        if self.peek()[0] == "punct" and self.peek()[1] in ("*", "+", "?"):
-            # path modifier on the predicate: <p>* / <p>+ / <p>? (a lone
-            # '?' only tokenizes as punct when no variable name follows, so
-            # `<p>? ?o` is a path and `<p> ?o` is a plain object variable)
-            if not allow_path:
-                raise SparqlSyntaxError(
-                    "property paths are not allowed in a CONSTRUCT template"
-                )
-            if p.startswith("?"):
-                raise SparqlSyntaxError(
-                    "property paths require a ground predicate"
-                )
-            path = self.next()[1]
-        return Pattern(s, p, part(), path)
+        if self.peek()[0] == "var":  # variable predicate: never a path
+            p = self.next()[1]
+            return Pattern(s, p, part())
+        node = self._path_seq(allow_path)
+        o = part()
+        # canonical simple shapes keep their dedicated scan paths: a plain
+        # predicate scans directly; <p>* / <p>+ / <p>? gets the BFS-from-
+        # ground optimizations of _scan_path (a lone '?' only tokenizes as
+        # punct when no variable name follows, so `<p>? ?o` is a path and
+        # `<p> ?o` is a plain object variable)
+        if isinstance(node, PIri):
+            return Pattern(s, node.iri, o)
+        if isinstance(node, PMod) and isinstance(node.inner, PIri):
+            return Pattern(s, node.inner.iri, o, path=node.op)
+        return Pattern(s, "", o, pexpr=node)
+
+    def _no_path(self, allow_path: bool) -> None:
+        if not allow_path:
+            raise SparqlSyntaxError(
+                "property paths are not allowed in a CONSTRUCT template"
+            )
+
+    def _path_seq(self, allow_path: bool):
+        parts = [self._path_elt(allow_path)]
+        while self.peek() == ("punct", "/"):
+            self._no_path(allow_path)
+            self.next()
+            parts.append(self._path_elt(allow_path))
+        return parts[0] if len(parts) == 1 else PSeq(parts)
+
+    def _path_elt(self, allow_path: bool):
+        prim = self._path_prim(allow_path)
+        k, v = self.peek()
+        if k == "punct" and v in ("*", "+", "?"):
+            self._no_path(allow_path)
+            self.next()
+            return PMod(prim, v)
+        return prim
+
+    def _path_prim(self, allow_path: bool):
+        k, v = self.peek()
+        if (k, v) == ("punct", "^"):
+            self._no_path(allow_path)
+            self._enter()
+            self.next()
+            inner = self._path_prim(allow_path)
+            self.depth -= 1
+            return PInv(inner)
+        if (k, v) == ("punct", "("):
+            self._no_path(allow_path)
+            self._enter()
+            self.next()
+            opts = [self._path_seq(allow_path)]
+            while self.peek() == ("punct", "|"):
+                self.next()
+                opts.append(self._path_seq(allow_path))
+            self.expect("punct", ")")
+            self.depth -= 1
+            return opts[0] if len(opts) == 1 else PAlt(opts)
+        return PIri(self._term_token())
 
     # ---- FILTER expressions (precedence: || < && < ! < cmp) ----
     def expr(self) -> Expr:
@@ -839,6 +919,122 @@ def _scan_path(quads: DataFrame, pat: Pattern) -> DataFrame:
     )
 
 
+def _path_pairs(quads: DataFrame, node) -> tuple[DataFrame, bool]:
+    """Evaluate a compound path expression to its (src, dst) pair relation.
+    Returns (pairs, includes_zero): ``pairs`` holds the ≥1-step pairs and
+    ``includes_zero`` flags that the relation ALSO contains the identity
+    over every graph term (the SPARQL zero-length component) — kept
+    symbolic so a sequence join can apply it algebraically
+    (A ∘ (C ∪ id) = A∘C ∪ A) instead of materializing a universal
+    diagonal."""
+    if isinstance(node, PIri):
+        return (
+            quads.filter(F.col("p") == node.iri)
+            .select(F.col("s").alias("src"), F.col("o").alias("dst"))
+            .distinct(),
+            False,
+        )
+    if isinstance(node, PInv):
+        pairs, zero = _path_pairs(quads, node.inner)
+        return (
+            pairs.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            ),
+            zero,
+        )
+    if isinstance(node, PAlt):
+        out = None
+        zero = False
+        for child in node.options:
+            p, z = _path_pairs(quads, child)
+            out = p if out is None else out.unionByName(p)
+            zero = zero or z
+        return out.distinct(), zero
+    if isinstance(node, PSeq):
+        acc, zacc = _path_pairs(quads, node.parts[0])
+        for part in node.parts[1:]:
+            nxt, znxt = _path_pairs(quads, part)
+            # relational composition; zero components distribute:
+            # (A ∪ id)∘(B ∪ id) = A∘B ∪ A ∪ B ∪ id
+            comp = (
+                acc.select("src", F.col("dst").alias("_mid"))
+                .join(nxt.select(F.col("src").alias("_mid"), "dst"), "_mid")
+                .select("src", "dst")
+            )
+            branches = [comp]
+            if znxt:
+                branches.append(acc)
+            if zacc:
+                branches.append(nxt)
+            out = branches[0]
+            for b in branches[1:]:
+                out = out.unionByName(b)
+            acc, zacc = out.distinct(), (zacc and znxt)
+        return acc, zacc
+    if isinstance(node, PMod):
+        pairs, zero = _path_pairs(quads, node.inner)
+        if node.op == "?":
+            return pairs, True
+        closed = _closure_pairs(
+            _realias(pairs.localCheckpoint(), "src", "dst")
+        )
+        # (P ∪ id)* = P* ; (P ∪ id)+ = P ∪ P² ∪ ... ∪ id-from-inner
+        return closed, True if node.op == "*" else zero
+    raise AssertionError(node)  # pragma: no cover
+
+
+def _bind_path_endpoints(
+    quads: DataFrame, pat: Pattern, pairs: DataFrame, zero: bool
+) -> DataFrame:
+    """Bind a pattern's endpoints against an evaluated pair relation,
+    applying SPARQL zero-length semantics: ground endpoints always admit
+    (t, t); two variables extend the relation with the identity over every
+    graph term; a repeated variable keeps the diagonal."""
+    spark = quads.sparkSession
+    s_var = pat.s[1:] if pat.s.startswith("?") else None
+    o_var = pat.o[1:] if pat.o.startswith("?") else None
+    if s_var is None and o_var is None:
+        if zero and pat.s == pat.o:
+            return spark.range(1).select()
+        return pairs.filter(
+            (F.col("src") == pat.s) & (F.col("dst") == pat.o)
+        ).select()
+    if s_var is None or o_var is None:
+        forward = s_var is None
+        ground, var = (pat.s, o_var) if forward else (pat.o, s_var)
+        out = pairs.filter(
+            F.col("src" if forward else "dst") == ground
+        ).select(F.col("dst" if forward else "src").alias(var))
+        if zero:
+            out = out.unionByName(
+                spark.createDataFrame([(ground,)], f"{var} string")
+            ).distinct()
+        return out
+    if zero:
+        nodes = (
+            quads.select(F.col("s").alias("src"))
+            .unionByName(quads.select(F.col("o").alias("src")))
+            .distinct()
+        )
+        pairs = pairs.unionByName(
+            nodes.select("src", F.col("src").alias("dst"))
+        ).distinct()
+    if s_var == o_var:
+        return pairs.filter(F.col("src") == F.col("dst")).select(
+            F.col("src").alias(s_var)
+        )
+    return pairs.select(
+        F.col("src").alias(s_var), F.col("dst").alias(o_var)
+    )
+
+
+def _scan_path_expr(quads: DataFrame, pat: Pattern) -> DataFrame:
+    """Compile a compound path pattern (sequence / alternative / inverse,
+    modifiers on any element) via the pair-relation evaluator."""
+    pairs, zero = _path_pairs(quads, pat.pexpr)
+    return _bind_path_endpoints(quads, pat, pairs, zero)
+
+
 def _join(left: DataFrame | None, right: DataFrame, how: str = "inner") -> DataFrame:
     if left is None:
         return right
@@ -874,7 +1070,9 @@ def _compile_group(quads: DataFrame, spark, group: Group) -> DataFrame | None:
     deferred: list[Filter] = []
     for item in group.items:
         if isinstance(item, Pattern):
-            if item.path is None:
+            if item.pexpr is not None:
+                frame = _join(frame, _scan_path_expr(quads, item))
+            elif item.path is None:
                 frame = _join(frame, _scan(quads, item))
             else:
                 frame = _join(frame, _scan_path(quads, item))

@@ -535,6 +535,93 @@ class TestPropertyPaths:
             )
 
 
+class TestCompoundPaths:
+    """Sequence / alternative / inverse path expressions with composable
+    modifiers — evaluated as pair relations (union, relational composition,
+    reversal) with symbolic zero-length distribution."""
+
+    @pytest.fixture(scope="class")
+    def tree(self, spark):
+        rows = PATH_ROWS + [
+            (7, "<n1>", "<http://p/knows>", "<n2>", G1),
+            (8, "<n2>", "<http://p/name>", '"Bob"', G1),
+        ]
+        return spark.createDataFrame(rows, QUAD_SCHEMA).cache()
+
+    def test_sequence(self, tree):
+        out = run_sparql(
+            tree, "SELECT ?x ?v WHERE { ?x <http://p/knows>/<http://p/name> ?v }"
+        )
+        assert rows(out) == [("<n1>", '"Bob"')]
+
+    def test_inverse(self, tree):
+        out = run_sparql(
+            tree, "SELECT ?y WHERE { ?x ^<http://p/knows> ?y }"
+        )
+        assert rows(out) == [("<n1>",)]
+
+    def test_alternative(self, tree):
+        out = run_sparql(
+            tree,
+            "SELECT ?v WHERE { <n1> (<http://p/knows>|<http://p/parent>) ?v }",
+        )
+        assert rows(out) == [("<n2>",), ("<r1>",)]
+
+    def test_siblings_via_seq_inverse(self, tree):
+        # parent then inverse-parent: nodes sharing n2's parent (incl. n2)
+        out = run_sparql(
+            tree,
+            "SELECT ?s WHERE { ?s <http://p/parent>/^<http://p/parent> <n2> }",
+        )
+        assert rows(out) == [("<n1>",), ("<n2>",)]
+
+    def test_modifier_on_group(self, tree):
+        # (parent/parent)*: even-depth ancestors — zero (self) + root
+        out = run_sparql(
+            tree,
+            "SELECT ?a WHERE"
+            " { <n1> (<http://p/parent>/<http://p/parent>)* ?a }",
+        )
+        assert rows(out) == [("<n1>",), ("<root>",)]
+
+    def test_inverse_with_closure(self, tree):
+        # ^parent+ from the root: every descendant
+        out = run_sparql(
+            tree, "SELECT ?d WHERE { <root> ^<http://p/parent>+ ?d }"
+        )
+        assert rows(out) == [
+            ("<n1>",), ("<n2>",), ("<n3>",), ("<r1>",), ("<r2>",),
+        ]
+
+    def test_optional_sequence_zero(self, tree):
+        # zero-or-one over a two-step sequence: self plus the 2-hop target
+        out = run_sparql(
+            tree,
+            "SELECT ?x WHERE"
+            " { <n1> (<http://p/knows>/<http://p/name>)? ?x }",
+        )
+        assert rows(out) == [('"Bob"',), ("<n1>",)]
+
+    def test_symmetric_alternative(self, tree):
+        out = run_sparql(
+            tree,
+            "SELECT ?x ?y WHERE { ?x (<http://p/knows>|^<http://p/knows>) ?y }",
+        )
+        assert rows(out) == [("<n1>", "<n2>"), ("<n2>", "<n1>")]
+
+    def test_construct_template_rejects_compound(self, tree):
+        with pytest.raises(SparqlSyntaxError, match="CONSTRUCT"):
+            run_sparql(
+                tree,
+                "CONSTRUCT { ?a <http://p/x>/<http://p/y> ?b } WHERE"
+                " { ?a <http://p/parent> ?b }",
+            )
+
+    def test_dangling_sequence_raises(self, tree):
+        with pytest.raises(SparqlSyntaxError):
+            run_sparql(tree, "SELECT ?x WHERE { ?x <http://p/knows>/ }")
+
+
 class TestAggregates:
     @pytest.fixture(scope="class")
     def tree(self, spark):
