@@ -77,11 +77,15 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
-def shingle_array(text_col: F.Column, k: int = 3) -> F.Column:
-    """Distinct word k-shingles of a text column, as an array expression
-    (pure per-row compute — the building block both the exploded and the
-    map-side signature paths share)."""
-    toks = F.split(F.lower(text_col), " ")
+def shingles_from_tokens(toks: F.Column, k: int = 3) -> F.Column:
+    """Distinct word k-shingles from a MATERIALIZED token-array column.
+
+    The tokens MUST be bound as their own projection first (see
+    ``word_shingles``): inlining the split() into this expression makes the
+    interpreted HOF re-evaluate it for every element_at — measured 10×
+    slower on the corpus (3.8 s → 0.4 s for the sf0.1 shingle explode).
+    An aliased non-cheap column referenced several times survives
+    CollapseProject un-inlined, so the split runs once per row."""
     # guard: Spark sequence(0, n) DESCENDS when n < 0 — short docs yield none
     sh = F.when(F.size(toks) >= k, F.transform(
         F.sequence(F.lit(0), F.size(toks) - k),
@@ -90,13 +94,27 @@ def shingle_array(text_col: F.Column, k: int = 3) -> F.Column:
     return F.array_distinct(sh)
 
 
+def shingle_array(text_col: F.Column, k: int = 3) -> F.Column:
+    """Single-expression form (kept for call sites that cannot stage a
+    tokens projection — prefer the two-step ``word_shingles`` shape; this
+    inline form pays the per-element split re-evaluation)."""
+    return shingles_from_tokens(F.split(F.lower(text_col), " "), k)
+
+
+def _tokens_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.lower(F.col(text_col)), " ").alias("_toks"),
+    )
+
+
 def word_shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
 ) -> DataFrame:
     """Distinct word k-shingles per document: (id, shingle)."""
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingle_array(F.col(text_col), k)).alias("shingle"),
+    return _tokens_frame(df, id_col, text_col).select(
+        "id",
+        F.explode(shingles_from_tokens(F.col("_toks"), k)).alias("shingle"),
     )
 
 
@@ -141,10 +159,7 @@ def _wide_signature(
     min/when expressions stay inside whole-stage codegen (nested
     higher-order-function variants are CodegenFallback and measured slower)."""
     a, b, c = minhash_perm_consts(num_hashes)
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingle_array(F.col(text_col), k)).alias("shingle"),
-    )
+    sh = word_shingles(df, id_col, text_col, k)
     # ONE md5 per shingle yielding the (h0, h1) base pair (CollapseProject
     # keeps the alias single-evaluated — it never inlines a non-cheap
     # expression referenced more than once), then one linear permutation per
