@@ -34,10 +34,22 @@ def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def _tokens_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, toks): the token array bound as its OWN projection — every
+    consumer below references the split many times, and an aliased
+    non-cheap column survives CollapseProject un-inlined, so the split
+    runs once per row instead of once per reference (the shingle-pipeline
+    landmine, BENCH.md §9)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.lower(F.col(text_col)), " ").alias("toks"),
+    )
+
+
 def quality_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Quality signals per doc, integer-exact:
     n_tokens, n_distinct, mean_tok_len_x100, stop_ratio_x1000, distinct_ratio_x1000."""
-    toks = F.split(F.lower(F.col(text_col)), " ")
+    toks = F.col("toks")
     stops = LANG_MARKERS["en"]
     n_tok = F.size(toks).cast("long")
     n_dis = F.size(F.array_distinct(toks)).cast("long")
@@ -45,8 +57,8 @@ def quality_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     sum_len = F.aggregate(
         toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
     )
-    return df.select(
-        F.col(id_col).alias("id"),
+    return _tokens_frame(df, id_col, text_col).select(
+        "id",
         n_tok.alias("n_tokens"),
         n_dis.alias("n_distinct"),
         F.floor(sum_len * 100.0 / n_tok).cast("long").alias("mean_tok_len_x100"),
@@ -58,7 +70,7 @@ def quality_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Marker-word language scores + argmax prediction ('unknown' when no
     marker hits). Deterministic tie-break: language name ascending."""
-    toks = F.split(F.lower(F.col(text_col)), " ")
+    toks = F.col("toks")
     scores = {
         lang: F.size(F.filter(toks, lambda x: x.isin(words))).cast("long")
         for lang, words in LANG_MARKERS.items()
@@ -67,8 +79,8 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     pred = F.lit("unknown")
     for lang in sorted(LANG_MARKERS, reverse=True):
         pred = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(pred)
-    return df.select(
-        F.col(id_col).alias("id"),
+    return _tokens_frame(df, id_col, text_col).select(
+        "id",
         *[scores[lang].alias(f"score_{lang}") for lang in sorted(LANG_MARKERS)],
         pred.alias("pred_lang"),
     )
@@ -79,16 +91,20 @@ def fingerprints(
 ) -> DataFrame:
     """Document fingerprint: the minimum md5 over word k-grams (winnowing's
     global window). (id, fp, n_grams)."""
-    toks = F.split(F.lower(F.col(text_col)), " ")
+    toks = F.col("toks")
     grams = F.when(F.size(toks) >= k, F.transform(
         F.sequence(F.lit(0), F.size(toks) - k),
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)]),
     )).otherwise(F.array().cast("array<string>"))
-    hashed = F.transform(grams, lambda g: md5s(g))
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.array_min(hashed).alias("fp"),
-        F.size(grams).cast("long").alias("n_grams"),
+    # grams itself is referenced twice (min-hash + size) — stage it too
+    return (
+        _tokens_frame(df, id_col, text_col)
+        .select("id", grams.alias("_grams"))
+        .select(
+            "id",
+            F.array_min(F.transform(F.col("_grams"), lambda g: md5s(g))).alias("fp"),
+            F.size(F.col("_grams")).cast("long").alias("n_grams"),
+        )
     )
 
 
