@@ -24,7 +24,8 @@ algebra and compiles to a DataFrame plan:
 - OPTIONAL → left outer join; UNION → unionByName(allowMissingColumns);
   SELECT [DISTINCT] / ORDER BY / LIMIT;
 - property paths over ground predicates: modifiers ``*``/``+``/``?``,
-  sequences ``p1/p2``, alternatives ``(p1|p2)``, and inverse ``^p``,
+  sequences ``p1/p2``, alternatives ``(p1|p2)``, inverse ``^p``, and
+  negated property sets ``!p`` / ``!(p1|p2)`` (forward members),
   composable (e.g. ``^<parent>+``, ``(<a>/<b>)*``). The reference's own
   generated forms (``hasParent*`` at sparqlfactory.js:800,
   ``REFERENCES_URI?`` in the delete templates at :718-744) take the
@@ -43,8 +44,9 @@ algebra and compiles to a DataFrame plan:
   strings exactly like ORDER BY does.
 
 Subset contract: SELECT / ASK / DESCRIBE / CONSTRUCT queries over the forms
-above. Anything else (negated property sets, subqueries, BIND) raises
-``SparqlSyntaxError`` — never a silently wrong answer.
+above. Anything else (subqueries, BIND, inverse members inside a negated
+property set) raises ``SparqlSyntaxError`` — never a silently wrong
+answer.
 DESCRIBE-style fetches also exist as ``plans.query.from_uris``; programmatic
 assembly (Q10) is the DataFrame/filter-dict API plus this text entry.
 
@@ -185,6 +187,11 @@ class PAlt:
 class PMod:
     inner: object
     op: str  # '*' | '+' | '?'
+
+
+@dataclass
+class PNeg:
+    iris: list  # !<p> / !(<p1>|<p2>) — any single FORWARD step not in the set
 
 
 @dataclass
@@ -556,6 +563,23 @@ class _Parser:
 
     def _path_prim(self, allow_path: bool):
         k, v = self.peek()
+        if (k, v) == ("punct", "!"):
+            # negated property set: !<p> or !(<p1>|<p2>) — forward members
+            # only (the spec's ^-members inside a negated set are not
+            # supported and would raise at the _term_token below)
+            self._no_path(allow_path)
+            self.next()
+            iris = []
+            if self.peek() == ("punct", "("):
+                self.next()
+                iris.append(self._term_token())
+                while self.peek() == ("punct", "|"):
+                    self.next()
+                    iris.append(self._term_token())
+                self.expect("punct", ")")
+            else:
+                iris.append(self._term_token())
+            return PNeg(iris)
         if (k, v) == ("punct", "^"):
             self._no_path(allow_path)
             self._enter()
@@ -930,6 +954,13 @@ def _path_pairs(quads: DataFrame, node) -> tuple[DataFrame, bool]:
     if isinstance(node, PIri):
         return (
             quads.filter(F.col("p") == node.iri)
+            .select(F.col("s").alias("src"), F.col("o").alias("dst"))
+            .distinct(),
+            False,
+        )
+    if isinstance(node, PNeg):
+        return (
+            quads.filter(~F.col("p").isin(node.iris))
             .select(F.col("s").alias("src"), F.col("o").alias("dst"))
             .distinct(),
             False,

@@ -609,6 +609,33 @@ class TestCompoundPaths:
         )
         assert rows(out) == [("<n1>", "<n2>"), ("<n2>", "<n1>")]
 
+    def test_negated_property_set(self, tree):
+        # !<parent>: any edge whose predicate is NOT parent
+        out = run_sparql(
+            tree, "SELECT ?s ?o WHERE { ?s !<http://p/parent> ?o }"
+        )
+        got = rows(out)
+        assert ("<n1>", "<n2>") in got  # knows edge
+        assert all(o != "<root>" for _, o in got)  # parent edges excluded
+        # negated SET excludes several predicates at once
+        out2 = run_sparql(
+            tree,
+            "SELECT ?s ?o WHERE"
+            " { ?s !(<http://p/parent>|<http://p/knows>) ?o }",
+        )
+        preds_left = {"<http://p/name>", "<http://p/age>"}
+        assert len(rows(out2)) == sum(
+            1 for _, _, p, _, _ in (PATH_ROWS + [
+                (7, "<n1>", "<http://p/knows>", "<n2>", G1),
+                (8, "<n2>", "<http://p/name>", '"Bob"', G1),
+            ]) if p in preds_left
+        )
+        # inverse member inside the set is unsupported and raises
+        with pytest.raises(SparqlSyntaxError):
+            run_sparql(
+                tree, "SELECT ?s WHERE { ?s !(^<http://p/parent>) ?o }"
+            )
+
     def test_construct_template_rejects_compound(self, tree):
         with pytest.raises(SparqlSyntaxError, match="CONSTRUCT"):
             run_sparql(
