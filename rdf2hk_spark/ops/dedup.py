@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from rdf2hk_spark.ops import tokens
 from rdf2hk_spark.ops.hashing import md5_int_py, md5s
 
 # MinHash universal-hash family: ONE md5 evaluation per shingle yields TWO
@@ -78,43 +79,18 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 
 
 def shingles_from_tokens(toks: F.Column, k: int = 3) -> F.Column:
-    """Distinct word k-shingles from a MATERIALIZED token-array column.
-
-    The tokens MUST be bound as their own projection first (see
-    ``word_shingles``): inlining the split() into this expression makes the
-    interpreted HOF re-evaluate it for every element_at — measured 10×
-    slower on the corpus (3.8 s → 0.4 s for the sf0.1 shingle explode).
-    An aliased non-cheap column referenced several times survives
-    CollapseProject un-inlined, so the split runs once per row."""
-    # guard: Spark sequence(0, n) DESCENDS when n < 0 — short docs yield none
-    sh = F.when(F.size(toks) >= k, F.transform(
-        F.sequence(F.lit(0), F.size(toks) - k),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)]),
-    )).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(sh)
-
-
-def shingle_array(text_col: F.Column, k: int = 3) -> F.Column:
-    """Single-expression form (kept for call sites that cannot stage a
-    tokens projection — prefer the two-step ``word_shingles`` shape; this
-    inline form pays the per-element split re-evaluation)."""
-    return shingles_from_tokens(F.split(F.lower(text_col), " "), k)
-
-
-def _tokens_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.split(F.lower(F.col(text_col)), " ").alias("_toks"),
-    )
+    """Distinct word k-shingles from a STAGED token-array column (see
+    ops.tokens for the staging rule — inlining the split costs 10×)."""
+    return F.array_distinct(tokens.kgrams_from_tokens(toks, k))
 
 
 def word_shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
 ) -> DataFrame:
     """Distinct word k-shingles per document: (id, shingle)."""
-    return _tokens_frame(df, id_col, text_col).select(
+    return tokens.tokens_frame(df, id_col, text_col).select(
         "id",
-        F.explode(shingles_from_tokens(F.col("_toks"), k)).alias("shingle"),
+        F.explode(shingles_from_tokens(F.col("toks"), k)).alias("shingle"),
     )
 
 

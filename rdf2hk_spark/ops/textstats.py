@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from rdf2hk_spark.ops.hashing import md5s
+from rdf2hk_spark.ops.tokens import kgrams_from_tokens, tokens_frame
 
 # tiny marker-word lists for the n-gram/stopword language heuristic
 LANG_MARKERS = {
@@ -34,16 +35,9 @@ def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
-def _tokens_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, toks): the token array bound as its OWN projection — every
-    consumer below references the split many times, and an aliased
-    non-cheap column survives CollapseProject un-inlined, so the split
-    runs once per row instead of once per reference (the shingle-pipeline
-    landmine, BENCH.md §9)."""
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.split(F.lower(F.col(text_col)), " ").alias("toks"),
-    )
+# token staging shared with the dedup pipeline: ops.tokens.tokens_frame
+# (the split must bind as its own projection — BENCH.md §9)
+_tokens_frame = tokens_frame
 
 
 def quality_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -91,11 +85,7 @@ def fingerprints(
 ) -> DataFrame:
     """Document fingerprint: the minimum md5 over word k-grams (winnowing's
     global window). (id, fp, n_grams)."""
-    toks = F.col("toks")
-    grams = F.when(F.size(toks) >= k, F.transform(
-        F.sequence(F.lit(0), F.size(toks) - k),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)]),
-    )).otherwise(F.array().cast("array<string>"))
+    grams = kgrams_from_tokens(F.col("toks"), k)
     # grams itself is referenced twice (min-hash + size) — stage it too
     return (
         _tokens_frame(df, id_col, text_col)
@@ -123,22 +113,9 @@ def repetition_stats(
     map-side combines keep the shuffle at one row per (id, gram). Ties on
     the max count are irrelevant (only the count is emitted)."""
     # two-step select: grams references the tokenized COLUMN, so the
-    # split/lower runs once per row (CollapseProject keeps a non-cheap alias
-    # referenced more than once un-inlined)
-    tok_frame = df.select(
-        F.col(id_col).alias("id"),
-        F.split(F.lower(F.col(text_col)), " ").alias("toks"),
-    )
-    toks = F.col("toks")
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # split/lower runs once per row (ops.tokens staging rule)
+    tok_frame = _tokens_frame(df, id_col, text_col)
+    grams = kgrams_from_tokens(F.col("toks"), n)
     base = tok_frame.select("id", "toks", grams.alias("grams"))
     word_stats = base.select(
         "id",

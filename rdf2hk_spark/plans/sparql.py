@@ -584,6 +584,11 @@ class _Parser:
             self._no_path(allow_path)
             self._enter()
             self.next()
+            if self.peek() == ("punct", "^"):
+                # grammar: PathEltOrInverse allows a SINGLE '^' — a bare
+                # run like ^^<p> is invalid SPARQL and must not silently
+                # answer as the double inverse (^(^<p>) stays legal)
+                raise SparqlSyntaxError("'^' may not be repeated directly")
             inner = self._path_prim(allow_path)
             self.depth -= 1
             return PInv(inner)
@@ -873,15 +878,9 @@ def _closure_pairs(edges: DataFrame) -> DataFrame:
 
 
 def _scan_path(quads: DataFrame, pat: Pattern) -> DataFrame:
-    """Compile one path pattern to a bindings frame (the path analog of
-    ``_scan``). Ground endpoints pick the cheap DIRECTIONAL reachability
-    (frontier BFS from the constant — never the full closure); two variables
-    compute the pairwise closure. Zero-length semantics per SPARQL 1.1:
-    ``*``/``?`` with a ground endpoint always admit the (t, t) solution;
-    with two variables the zero-length path matches every term of the
-    active graph (subject or object position); a repeated variable
-    (``?x <p>* ?x``) keeps only the diagonal."""
-    spark = quads.sparkSession
+    """Compile a simple modified-predicate pattern (``<p>*``/``+``/``?``)
+    to a bindings frame — the single-step relation is one predicate scan,
+    then ``_path_with_edges`` picks the evaluation strategy."""
     edges = _realias(
         quads.filter(F.col("p") == pat.p)
         .select(F.col("s").alias("src"), F.col("o").alias("dst"))
@@ -889,7 +888,23 @@ def _scan_path(quads: DataFrame, pat: Pattern) -> DataFrame:
         .localCheckpoint(),
         "src", "dst",
     )
-    include_zero = pat.path in ("*", "?")
+    return _path_with_edges(quads, pat, edges, pat.path)
+
+
+def _path_with_edges(
+    quads: DataFrame, pat: Pattern, edges: DataFrame, op: str
+) -> DataFrame:
+    """Evaluate a ``*``/``+``/``?`` closure over an arbitrary prepared
+    single-step relation ``edges`` (src, dst — deduplicated, checkpointed)
+    and bind the pattern's endpoints. Ground endpoints pick the cheap
+    DIRECTIONAL reachability (frontier BFS from the constant — never the
+    full closure); two variables compute the pairwise closure. Zero-length
+    semantics per SPARQL 1.1: ``*``/``?`` with a ground endpoint always
+    admit the (t, t) solution; with two variables the zero-length path
+    matches every term of the active graph (subject or object position);
+    a repeated variable (``?x <p>* ?x``) keeps only the diagonal."""
+    spark = quads.sparkSession
+    include_zero = op in ("*", "?")
     s_var = pat.s[1:] if pat.s.startswith("?") else None
     o_var = pat.o[1:] if pat.o.startswith("?") else None
 
@@ -897,7 +912,7 @@ def _scan_path(quads: DataFrame, pat: Pattern) -> DataFrame:
         # both ground: pure existence (zero-column frame, _join's semantics)
         if include_zero and pat.s == pat.o:
             return spark.range(1).select()
-        if pat.path == "?":
+        if op == "?":
             hit = edges.filter(
                 (F.col("src") == pat.s) & (F.col("dst") == pat.o)
             )
@@ -910,7 +925,7 @@ def _scan_path(quads: DataFrame, pat: Pattern) -> DataFrame:
     if s_var is None or o_var is None:
         forward = s_var is None  # ground start ⇒ walk src→dst
         ground, var = (pat.s, o_var) if forward else (pat.o, s_var)
-        if pat.path == "?":
+        if op == "?":
             reach = edges.filter(
                 F.col("src" if forward else "dst") == ground
             ).select(F.col("dst" if forward else "src").alias("n"))
@@ -923,7 +938,7 @@ def _scan_path(quads: DataFrame, pat: Pattern) -> DataFrame:
             ).distinct()
         return out
 
-    pairs = edges if pat.path == "?" else _closure_pairs(edges)
+    pairs = edges if op == "?" else _closure_pairs(edges)
     if include_zero:
         # zero-length path: every term of the active graph matches itself
         nodes = (
@@ -950,19 +965,24 @@ def _path_pairs(quads: DataFrame, node) -> tuple[DataFrame, bool]:
     over every graph term (the SPARQL zero-length component) — kept
     symbolic so a sequence join can apply it algebraically
     (A ∘ (C ∪ id) = A∘C ∪ A) instead of materializing a universal
-    diagonal."""
+    diagonal.
+
+    Multiplicity follows the SPARQL 1.1 translation: sequences are BGPs
+    with a fresh variable and alternatives are UNIONs — both BAGS (no
+    dedup; `?a <p>/<q> ?b` agrees row-for-row with the hand-written
+    two-pattern BGP, including per-graph duplicate quads) — while the
+    ``*``/``+``/``?`` forms are ALP, i.e. SET semantics (the closure/
+    zero-or-one result deduplicates)."""
     if isinstance(node, PIri):
         return (
             quads.filter(F.col("p") == node.iri)
-            .select(F.col("s").alias("src"), F.col("o").alias("dst"))
-            .distinct(),
+            .select(F.col("s").alias("src"), F.col("o").alias("dst")),
             False,
         )
     if isinstance(node, PNeg):
         return (
             quads.filter(~F.col("p").isin(node.iris))
-            .select(F.col("s").alias("src"), F.col("o").alias("dst"))
-            .distinct(),
+            .select(F.col("s").alias("src"), F.col("o").alias("dst")),
             False,
         )
     if isinstance(node, PInv):
@@ -980,7 +1000,7 @@ def _path_pairs(quads: DataFrame, node) -> tuple[DataFrame, bool]:
             p, z = _path_pairs(quads, child)
             out = p if out is None else out.unionByName(p)
             zero = zero or z
-        return out.distinct(), zero
+        return out, zero  # UNION = bag
     if isinstance(node, PSeq):
         acc, zacc = _path_pairs(quads, node.parts[0])
         for part in node.parts[1:]:
@@ -1000,14 +1020,14 @@ def _path_pairs(quads: DataFrame, node) -> tuple[DataFrame, bool]:
             out = branches[0]
             for b in branches[1:]:
                 out = out.unionByName(b)
-            acc, zacc = out.distinct(), (zacc and znxt)
+            acc, zacc = out, (zacc and znxt)  # BGP join = bag
         return acc, zacc
     if isinstance(node, PMod):
         pairs, zero = _path_pairs(quads, node.inner)
         if node.op == "?":
-            return pairs, True
+            return pairs.distinct(), True  # ZeroOrOnePath is ALP: a set
         closed = _closure_pairs(
-            _realias(pairs.localCheckpoint(), "src", "dst")
+            _realias(pairs.distinct().localCheckpoint(), "src", "dst")
         )
         # (P ∪ id)* = P* ; (P ∪ id)+ = P ∪ P² ∪ ... ∪ id-from-inner
         return closed, True if node.op == "*" else zero
@@ -1060,9 +1080,30 @@ def _bind_path_endpoints(
 
 
 def _scan_path_expr(quads: DataFrame, pat: Pattern) -> DataFrame:
-    """Compile a compound path pattern (sequence / alternative / inverse,
-    modifiers on any element) via the pair-relation evaluator."""
-    pairs, zero = _path_pairs(quads, pat.pexpr)
+    """Compile a compound path pattern (sequence / alternative / inverse /
+    negated set, modifiers on any element) via the pair-relation evaluator.
+
+    A TOP-LEVEL closure with a ground endpoint (e.g.
+    ``<root> ^<parent>+ ?d`` or ``<x> (<a>/<b>)* ?y``) takes the
+    directional frontier BFS over the composed single-step relation —
+    never the global closure-then-filter, which would materialize every
+    connected pair of the graph to keep one source."""
+    node = pat.pexpr
+    s_ground = not pat.s.startswith("?")
+    o_ground = not pat.o.startswith("?")
+    if (
+        isinstance(node, PMod)
+        and node.op in ("*", "+")
+        and (s_ground or o_ground)
+    ):
+        inner_pairs, inner_zero = _path_pairs(quads, node.inner)
+        edges = _realias(
+            inner_pairs.distinct().localCheckpoint(), "src", "dst"
+        )
+        # (P ∪ id)+ = P*: an inner zero component upgrades + to *
+        op = "*" if (node.op == "*" or inner_zero) else "+"
+        return _path_with_edges(quads, pat, edges, op)
+    pairs, zero = _path_pairs(quads, node)
     return _bind_path_endpoints(quads, pat, pairs, zero)
 
 

@@ -609,6 +609,45 @@ class TestCompoundPaths:
         )
         assert rows(out) == [("<n1>", "<n2>"), ("<n2>", "<n1>")]
 
+    def test_sequence_preserves_bag_multiplicity(self, spark):
+        # SPARQL 1.1 translates p/q to a BGP with a fresh variable — BAG
+        # semantics: two distinct intermediate nodes ⇒ two solutions
+        # (regression: per-node distinct() used to collapse them to one,
+        # so COUNT over a path disagreed with the hand-written BGP)
+        rows_in = [
+            (0, "<x>", "<http://p/p>", "<m1>", G1),
+            (1, "<x>", "<http://p/p>", "<m2>", G1),
+            (2, "<m1>", "<http://p/q>", "<y>", G1),
+            (3, "<m2>", "<http://p/q>", "<y>", G1),
+        ]
+        q2 = spark.createDataFrame(rows_in, QUAD_SCHEMA)
+        via_path = run_sparql(
+            q2,
+            "SELECT ?a (COUNT(*) AS ?n) WHERE"
+            " { ?a <http://p/p>/<http://p/q> ?b } GROUP BY ?a",
+        )
+        via_bgp = run_sparql(
+            q2,
+            "SELECT ?a (COUNT(*) AS ?n) WHERE"
+            " { ?a <http://p/p> ?m . ?m <http://p/q> ?b } GROUP BY ?a",
+        )
+        assert rows(via_path) == rows(via_bgp) == [("<x>", 2)]
+        # the ALP forms stay SET-semantics: closure over the same graph
+        star = run_sparql(
+            q2, "SELECT ?b WHERE { <x> (<http://p/p>/<http://p/q>)+ ?b }"
+        )
+        assert rows(star) == [("<y>",)]
+
+    def test_double_inverse_is_rejected(self, tree):
+        # grammar: PathEltOrInverse admits a single '^' — ^^<p> must raise,
+        # not silently answer as the double inverse; ^(^<p>) stays legal
+        with pytest.raises(SparqlSyntaxError, match="repeated"):
+            run_sparql(tree, "SELECT ?a ?b WHERE { ?a ^^<http://p/knows> ?b }")
+        out = run_sparql(
+            tree, "SELECT ?a ?b WHERE { ?a ^(^<http://p/knows>) ?b }"
+        )
+        assert rows(out) == [("<n1>", "<n2>")]
+
     def test_negated_property_set(self, tree):
         # !<parent>: any edge whose predicate is NOT parent
         out = run_sparql(
