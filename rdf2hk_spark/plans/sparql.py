@@ -1040,7 +1040,11 @@ def _bind_path_endpoints(
     """Bind a pattern's endpoints against an evaluated pair relation,
     applying SPARQL zero-length semantics: ground endpoints always admit
     (t, t); two variables extend the relation with the identity over every
-    graph term; a repeated variable keeps the diagonal."""
+    graph term; a repeated variable keeps the diagonal. When the zero
+    identity is folded in for a var-var binding, the union deduplicates —
+    so a zero-admitting COMPOUND path (e.g. ``p?/q?``) yields set-semantics
+    solutions there; the plain (no-zero) sequences/alternatives keep their
+    bag multiplicity untouched."""
     spark = quads.sparkSession
     s_var = pat.s[1:] if pat.s.startswith("?") else None
     o_var = pat.o[1:] if pat.o.startswith("?") else None

@@ -118,6 +118,23 @@ def test_sparql_from_prunes_store_partitions(spark, store):
     assert files and all(f"gpart={gpart(G2)}" in f for f in files)
 
 
+def test_sparql_predicate_pushdown_reaches_parquet_scan(spark, store):
+    """A ground predicate in a SPARQL pattern over the parquet-backed store
+    compiles to a filter Catalyst pushes into the scan (PushedFilters on
+    the p column) — the declarative-plan promise, asserted on the physical
+    plan rather than taken on faith."""
+    from rdf2hk_spark.plans.sparql import run_sparql
+
+    quads = U.read_quad_store(spark, store)
+    out = run_sparql(quads, "SELECT ?s ?o WHERE { ?s <http://q> ?o }")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    # the equality literal must appear inside the pushed-filter list
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("EqualTo(p," in ln and "http://q" in ln for ln in pushed), pushed
+    assert sorted(tuple(r) for r in out.collect()) == [("<http://c>", '"x"')]
+
+
 def test_scope_to_context_prunes_store_partitions(spark, store):
     """Q11 via the filter-dict surface: scope_to_context over the keyed
     store read adds the gpart literal predicate (same pruning as FROM)."""
