@@ -121,6 +121,9 @@ def main() -> None:
         "ann_cosine_topk",
         "ann_lsh_topk",
         "embed_neardup",
+        "doc_dup_clusters",
+        "kg_pagerank",
+        "evt_sessions",
         "doc_quality",
         "doc_fingerprint",
     ):
