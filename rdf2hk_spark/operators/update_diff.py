@@ -93,6 +93,15 @@ _GPART = "gpart"
 # into this directory; the key needs isNull() handling, not string equality
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
+# Orphan-staging grace for the IN-BAND recover_store call at the start of
+# every merge/upsert/compact: a manifest-less staging dir younger than this
+# is spared (ADVICE r4: an accidental second writer — or an out-of-band
+# maintenance call racing a live merge — must not silently delete an
+# in-flight staging write; manifest-backed roll-forward/back is unaffected,
+# and a crashed writer's stale staging is still swept one grace later).
+# Standalone recover_store keeps grace 0 (explicit single-writer context).
+INBAND_ORPHAN_GRACE_SECONDS = 300.0
+
 # explicit read schema: partition-column TYPE INFERENCE would parse an
 # all-digit (or digits+'e') md5 hex key as a number, breaking the string
 # isin() pruning filter — zero rows read, merge silently drops the
@@ -155,7 +164,11 @@ def merge_into_store(spark: SparkSession, path: str, delta: DataFrame) -> list[s
     including reparenting — a moved entity deletes from its old graph's
     partition and inserts into the new one, both of which are in the delta's
     touched set by construction (update_quads emits both sides)."""
-    recover_store(spark, path)  # complete/roll back any crashed prior merge
+    # complete/roll back any crashed prior merge; fresh orphan staging is
+    # spared (could be a concurrent writer violating the single-writer
+    # contract — losing ITS data silently would be worse than leaving a
+    # stale dir for the next grace-expired sweep)
+    recover_store(spark, path, orphan_grace_seconds=INBAND_ORPHAN_GRACE_SECONDS)
     keys = [
         r[_GPART] if r[_GPART] is not None else _HIVE_NULL
         for r in delta.select(_gpart().alias(_GPART)).distinct().collect()
@@ -179,7 +192,7 @@ def upsert_into_store(
     at-least-once micro-batch replay × idempotent upsert = exactly-once
     store state. Touched partitions only, same staged-swap commit as
     ``merge_into_store``."""
-    recover_store(spark, path)
+    recover_store(spark, path, orphan_grace_seconds=INBAND_ORPHAN_GRACE_SECONDS)
     q = quads.select("s", "p", "o", "g").distinct()
     keys = [
         r[_GPART] if r[_GPART] is not None else _HIVE_NULL
@@ -211,7 +224,7 @@ def compact_store(
     fs, HPath = _store_fs(spark, path)
     if not fs.exists(HPath(path)):
         return []  # nothing to compact (maintenance job before first merge)
-    recover_store(spark, path)
+    recover_store(spark, path, orphan_grace_seconds=INBAND_ORPHAN_GRACE_SECONDS)
     if keys is None:
         keys = [
             st.getPath().getName().split("=", 1)[1]

@@ -289,13 +289,21 @@ def jaccard_pairs(
 
 
 def duplicate_clusters(
-    pairs: DataFrame, iters: int | None = None, max_iters: int = 32
+    pairs: DataFrame,
+    iters: int | None = None,
+    max_iters: int = 32,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over a candidate-pair graph → (id, keep_id):
-    every member of a duplicate cluster mapped to the cluster's minimum id
-    (the canonical survivor) — the step that turns near-dup PAIRS
+    every member of a duplicate cluster mapped to the cluster's SHORTLEX-
+    minimum id (shortest stringified id first, ties broken lexicographically)
+    as the canonical survivor — the step that turns near-dup PAIRS
     (lsh_candidate_pairs / embedding_near_duplicates) into actionable
-    dedup clusters. Ids are strings or ints; singletons never appear.
+    dedup clusters. Ids are strings or ints; ints (and digit strings with
+    no leading zeros) order NUMERICALLY under shortlex, matching
+    ``exact_duplicates``' numeric min. For non-numeric string ids of
+    unequal length the survivor is the SHORTEST id, not the lexicographic
+    minimum (``'z'`` beats ``'abc'``). Singletons never appear.
 
     Algorithm: min-label propagation with pointer jumping. Each round every
     node adopts the smallest label in its neighborhood (one join + one
@@ -307,7 +315,9 @@ def duplicate_clusters(
     the unrolled SQL oracle mirrors); default runs to CONVERGENCE (label
     set stable), bounded by ``max_iters`` — a chain of 2^32 diameter is not
     a realistic dup cluster, and hitting the bound raises rather than
-    returning a silently-unconverged labeling."""
+    returning a silently-unconverged labeling. ``stats``, when given a
+    dict, receives ``{"rounds": n}`` — observability for the O(log n)
+    claim (tests assert the bound on adversarial long-chain graphs)."""
     e = pairs.select(F.col("a").cast("string"), F.col("b").cast("string"))
     # materialize the undirected edge list ONCE: every propagation round
     # joins it, and without this the whole upstream candidate-pair pipeline
@@ -399,6 +409,8 @@ def duplicate_clusters(
         elif not changed:
             break
     und.unpersist()
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels.select("id", F.col("lbl").alias("keep_id"))
 
 

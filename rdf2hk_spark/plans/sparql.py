@@ -72,6 +72,15 @@ class SparqlSyntaxError(ValueError):
     pass
 
 
+class PathDepthError(RuntimeError):
+    """A property-path fixpoint exceeded ``PATH_MAX_ITERS`` rounds: the
+    query is LEGAL but the graph's diameter along the path is deeper than
+    the configured bound. Typed (not a bare ValueError, not a syntax
+    error) so callers can distinguish a depth-bound abort — raise
+    ``PATH_MAX_ITERS`` and retry — from a parse failure or an internal
+    fault."""
+
+
 # --------------------------------------------------------------------------
 # tokenizer
 # --------------------------------------------------------------------------
@@ -801,7 +810,10 @@ def _scan(quads: DataFrame, pat: Pattern) -> DataFrame:
 # sparqlfactory.js:718-744,800 — same machinery as plans.query's Q4 closure)
 # --------------------------------------------------------------------------
 
-_PATH_MAX_ITERS = 64
+# Depth bound on path fixpoints — module-level and mutable so a caller with
+# legitimately deeper-than-64-hop data can raise it (a legal query never
+# turns into an UNTYPED failure: exceeding it raises PathDepthError).
+PATH_MAX_ITERS = 64
 
 
 def _realias(df: DataFrame, *cols: str) -> DataFrame:
@@ -821,7 +833,7 @@ def _reachable(edges: DataFrame, start: str, forward: bool) -> DataFrame:
     reached = spark.createDataFrame([], "n string")
     frontier = spark.createDataFrame([(start,)], "n string")
     prev_ckpts: list[DataFrame] = []
-    for _ in range(_PATH_MAX_ITERS):
+    for _ in range(PATH_MAX_ITERS):
         new = (
             edges.join(frontier.select(F.col("n").alias(a)), a)
             .select(F.col(b).alias("n"))
@@ -839,8 +851,10 @@ def _reachable(edges: DataFrame, start: str, forward: bool) -> DataFrame:
         prev_ckpts = [new_ck, reached_ck]
         reached = _realias(reached_ck, "n")
         frontier = _realias(new_ck, "n")
-    raise ValueError(
-        f"property-path closure did not converge within {_PATH_MAX_ITERS} hops"
+    raise PathDepthError(
+        f"property-path closure did not converge within PATH_MAX_ITERS="
+        f"{PATH_MAX_ITERS} hops — raise rdf2hk_spark.plans.sparql."
+        "PATH_MAX_ITERS for deeper graphs"
     )
 
 
@@ -853,7 +867,7 @@ def _closure_pairs(edges: DataFrame) -> DataFrame:
     paths = _realias(edges, "src", "dst")
     delta = paths
     prev_ckpts: list[DataFrame] = []
-    for _ in range(_PATH_MAX_ITERS):
+    for _ in range(PATH_MAX_ITERS):
         step = (
             delta.select("src", F.col("dst").alias("_mid"))
             .join(edges.select(F.col("src").alias("_mid"), "dst"), "_mid")
@@ -872,8 +886,10 @@ def _closure_pairs(edges: DataFrame) -> DataFrame:
         prev_ckpts = [step_ck, paths_ck]
         paths = _realias(paths_ck, "src", "dst")
         delta = _realias(step_ck, "src", "dst")
-    raise ValueError(
-        f"property-path closure did not converge within {_PATH_MAX_ITERS} hops"
+    raise PathDepthError(
+        f"property-path closure did not converge within PATH_MAX_ITERS="
+        f"{PATH_MAX_ITERS} hops — raise rdf2hk_spark.plans.sparql."
+        "PATH_MAX_ITERS for deeper graphs"
     )
 
 

@@ -4,6 +4,7 @@ GRAPH-scoped DELETE/INSERT, realized as a partition-pruned rewrite)."""
 
 import hashlib
 import os
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -325,3 +326,28 @@ def test_null_graph_partition_survives_merge_and_compaction(spark, tmp_path):
 
     # compaction of a path that does not exist is a no-op
     assert U.compact_store(spark, str(tmp_path / "missing")) == []
+
+
+def test_inband_merge_spares_fresh_orphan_staging(spark, store):
+    """ADVICE r4: the recover_store call at the start of a merge must NOT
+    sweep a freshly-written manifest-less staging dir (possibly a second
+    writer's in-flight write) — only stale orphans older than the in-band
+    grace window are crash garbage."""
+    staging = os.path.join(store, ".merge-staging-live-writer")
+    os.makedirs(staging)
+    delta = spark.createDataFrame(
+        [("insert", "<http://new>", "<http://p>", "<http://x>", G1)],
+        DELTA_SCHEMA,
+    )
+    U.merge_into_store(spark, store, delta)
+    assert os.path.isdir(staging)  # spared by INBAND_ORPHAN_GRACE_SECONDS
+    # the merge itself still applied
+    got = U.read_quad_store(spark, store).filter(
+        F.col("s") == "<http://new>"
+    ).count()
+    assert got == 1
+    # an aged-out orphan IS swept by the next in-band call: backdate it
+    old = time.time() - 2 * U.INBAND_ORPHAN_GRACE_SECONDS
+    os.utime(staging, (old, old))
+    U.merge_into_store(spark, store, delta)
+    assert not os.path.isdir(staging)

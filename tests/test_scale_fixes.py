@@ -323,3 +323,39 @@ def test_lsh_band_key_paths_identical(spark):
     a = {(r["id"], r["band"]): r["bkey"] for r in keys_map.collect()}
     b = {(r["id"], r["band"]): r["bkey"] for r in keys_agg.collect()}
     assert a == b and len(a) == 12 * 4
+
+
+def test_duplicate_clusters_shortlex_non_numeric_ids(spark):
+    # ADVICE r4: the survivor rule is SHORTLEX on stringified ids — for
+    # non-numeric ids of unequal length the SHORTEST id wins ('z' beats
+    # 'abc'), not the lexicographic minimum; equal-length ties break
+    # lexicographically ('aa' beats 'ab')
+    pairs = spark.createDataFrame(
+        [("abc", "z"), ("abc", "aaaa"), ("ab", "aa")], "a string, b string"
+    )
+    got = {
+        (r["id"], r["keep_id"])
+        for r in dedup.duplicate_clusters(pairs).collect()
+    }
+    assert got == {
+        ("z", "z"), ("abc", "z"), ("aaaa", "z"), ("ab", "aa"), ("aa", "aa"),
+    }
+
+
+def test_duplicate_clusters_10k_chain_round_bound(spark):
+    """Adversarial worst case for the O(log n) pointer-jumping claim: a
+    10k-node PATH graph (diameter 10k). Convergence must land within
+    ~log2(n)+2 rounds — a linear-propagation implementation would need
+    ~10k rounds and trip max_iters instead."""
+    import math
+
+    n = 10_000
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    stats: dict = {}
+    out = dedup.duplicate_clusters(pairs, stats=stats)
+    # every node labels to shortlex-min '0' (numeric min for digit ids)
+    assert out.filter(F.col("keep_id") != "0").limit(1).count() == 0
+    assert out.count() == n
+    assert stats["rounds"] <= math.log2(n) + 2, stats
