@@ -856,6 +856,115 @@ def q_kg_sparql_agg(spark, sf_dir):
     )
 
 
+def q_kg_sparql_exists(spark, sf_dir):
+    """FILTER EXISTS / NOT EXISTS compiled to left-semi / left-anti joins on
+    the shared-variable domain: nations that have at least one customer but
+    no supplier whose suppkey ends in 7 (the inner FILTER makes the
+    anti-set non-trivial at every sf)."""
+    from rdf2hk_spark.plans.sparql import run_sparql
+
+    return run_sparql(
+        tpch_kg.quads_df(spark, sf_dir),
+        "SELECT ?n ?k WHERE {"
+        " ?n <urn:hk:p/key> ?k ."
+        " FILTER EXISTS { ?c <urn:hk:p/inNation> ?n }"
+        " FILTER NOT EXISTS { ?s <urn:hk:p/fromNation> ?n ."
+        ' FILTER(REGEX(?s, "7>$")) } }',
+    )
+
+
+def q_kg_sparql_minus(spark, sf_dir):
+    """MINUS (§18.5 minus-compatibility over the shared ?n domain): typed
+    nations minus those in region 1. The disjoint-domain divergence from
+    NOT EXISTS is pytest-covered (test_minus_vs_not_exists_divergence)."""
+    from rdf2hk_spark.plans.sparql import run_sparql
+
+    return run_sparql(
+        tpch_kg.quads_df(spark, sf_dir),
+        "SELECT ?n WHERE {"
+        " ?n <http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+        " <urn:hk:class/Nation> ."
+        " MINUS { ?n <urn:hk:p/inRegion> <urn:hk:region/1> } }",
+    )
+
+
+def q_kg_sparql_bind(spark, sf_dir):
+    """BIND feeding a later FILTER plus expression projections: a numeric
+    mod-5 bucket (FLOOR arithmetic over the decoded key literal) and a
+    CONCAT string projection materialized as a plain-literal term."""
+    from rdf2hk_spark.plans.sparql import run_sparql
+
+    return run_sparql(
+        tpch_kg.quads_df(spark, sf_dir),
+        "SELECT ?n (?k * 2 + 1 AS ?k2) (CONCAT(?l, \"!\") AS ?bang) WHERE {"
+        " ?n <urn:hk:p/key> ?k ."
+        " ?n <http://www.w3.org/2000/01/rdf-schema#label> ?l ."
+        " BIND(?k - FLOOR(?k / 5) * 5 AS ?m)"
+        " FILTER(?m >= 3) }",
+    )
+
+
+def q_kg_sparql_bind_agg(spark, sf_dir):
+    """GROUP BY over a BIND-computed bucket with the full aggregate tail:
+    COUNT, deterministic GROUP_CONCAT (sorted, custom separator), SAMPLE
+    (deterministic MIN)."""
+    from rdf2hk_spark.plans.sparql import run_sparql
+
+    return run_sparql(
+        tpch_kg.quads_df(spark, sf_dir),
+        "SELECT ?b (COUNT(?n) AS ?cnt)"
+        ' (GROUP_CONCAT(?l; SEPARATOR="|") AS ?names)'
+        " (SAMPLE(?l) AS ?one) WHERE {"
+        " ?n <urn:hk:p/key> ?k ."
+        " ?n <http://www.w3.org/2000/01/rdf-schema#label> ?l ."
+        " BIND(?k - FLOOR(?k / 5) * 5 AS ?b) } GROUP BY ?b",
+    )
+
+
+def q_kg_sparql_nps(spark, sf_dir):
+    """Negated property set with an INVERSE member (§18.2.2.3): over the
+    hasParent tree, ``!(<hasParent>|^<nope>)``'s forward branch excludes
+    every edge and the inverse branch admits every REVERSED edge — the
+    result is exactly the child-of relation."""
+    from rdf2hk_spark.plans.sparql import run_sparql
+
+    return run_sparql(
+        _ctx_tree_quads(spark, sf_dir),
+        "SELECT ?a ?b WHERE {"
+        " ?a !(<urn:hk:p/hasParent>|^<urn:hk:p/nope>) ?b }",
+    )
+
+
+def q_kg_sparql_path_agg(spark, sf_dir):
+    """Headline SPARQL plan: alternative-path CLOSURE + join + GROUP BY —
+    membership of every entity (customer→nation→region, supplier→nation→
+    region, nation→region) rolled up per region through the text surface.
+    Exercises _path_pairs (PAlt under +), the semi-naive closure, the
+    pair-relation endpoint join, and the aggregate compiler in one plan."""
+    from rdf2hk_spark.plans.sparql import run_sparql
+
+    return run_sparql(
+        tpch_kg.quads_df(spark, sf_dir),
+        "SELECT ?r (COUNT(?x) AS ?n_members) WHERE {"
+        " ?x (<urn:hk:p/inNation>|<urn:hk:p/inRegion>|"
+        "<urn:hk:p/fromNation>)+ ?r ."
+        " ?r <http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+        " <urn:hk:class/Region> . } GROUP BY ?r",
+    )
+
+
+def q_doc_chain_clusters(spark, sf_dir):
+    """Adversarial duplicate_clusters shape: a 10k-node PATH graph
+    (diameter 10k — the worst case for label propagation). Pointer jumping
+    must converge in O(log n) rounds to the shortlex-min survivor '0';
+    a linear implementation would blow the max_iters bound instead."""
+    n = 10_000
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    return dedup.duplicate_clusters(pairs)
+
+
 def q_kg_pagerank(spark, sf_dir):
     """Fixed-point PageRank (3 iterations, ×10^4 integer ranks — the
     ivf_train reproducibility playbook) over the corpus's resource-link
@@ -964,6 +1073,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_path": q_kg_sparql_path,
         "kg_sparql_seq": q_kg_sparql_seq,
         "kg_sparql_agg": q_kg_sparql_agg,
+        "kg_sparql_exists": q_kg_sparql_exists,
+        "kg_sparql_minus": q_kg_sparql_minus,
+        "kg_sparql_bind": q_kg_sparql_bind,
+        "kg_sparql_bind_agg": q_kg_sparql_bind_agg,
+        "kg_sparql_nps": q_kg_sparql_nps,
+        "kg_sparql_path_agg": q_kg_sparql_path_agg,
+        "doc_chain_clusters": q_doc_chain_clusters,
         "kg_pagerank": q_kg_pagerank,
         "evt_windowed_counts": q_evt_windowed_counts,
         "evt_sessions": q_evt_sessions,
@@ -1344,6 +1460,96 @@ def oracle_sql() -> dict[str, str]:
                    min(s) AS first_nation
             FROM quads WHERE p = '<urn:hk:p/inRegion>'
             GROUP BY o
+        """,
+        "kg_sparql_exists": f"""
+            WITH {_Q}
+            SELECT k.s AS n, k.o AS k
+            FROM quads k
+            WHERE k.p = '<urn:hk:p/key>'
+              AND EXISTS (SELECT 1 FROM quads c
+                          WHERE c.p = '<urn:hk:p/inNation>' AND c.o = k.s)
+              AND NOT EXISTS (SELECT 1 FROM quads s2
+                              WHERE s2.p = '<urn:hk:p/fromNation>'
+                                AND s2.o = k.s
+                                AND regexp_matches(s2.s, '7>$'))
+        """,
+        "kg_sparql_minus": f"""
+            WITH {_Q}
+            SELECT t.s AS n
+            FROM quads t
+            WHERE t.p = '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>'
+              AND t.o = '<urn:hk:class/Nation>'
+              AND NOT EXISTS (SELECT 1 FROM quads r
+                              WHERE r.p = '<urn:hk:p/inRegion>'
+                                AND r.o = '<urn:hk:region/1>'
+                                AND r.s = t.s)
+        """,
+        "kg_sparql_bind": f"""
+            WITH {_Q},
+            base AS (
+              SELECT k.s AS n,
+                     CAST(regexp_extract(k.o, '^"(-?[0-9]+)"', 1) AS DOUBLE)
+                       AS kv,
+                     l.o AS lab
+              FROM quads k
+              JOIN quads l ON l.s = k.s
+               AND l.p = '<http://www.w3.org/2000/01/rdf-schema#label>'
+              WHERE k.p = '<urn:hk:p/key>'
+            )
+            SELECT n, kv * 2 + 1 AS k2,
+                   '"' || regexp_extract(lab, '^"(.*)"', 1) || '!"' AS bang
+            FROM base
+            WHERE kv - floor(kv / 5) * 5 >= 3
+        """,
+        "kg_sparql_bind_agg": f"""
+            WITH {_Q},
+            base AS (
+              SELECT k.s AS n,
+                     CAST(regexp_extract(k.o, '^"(-?[0-9]+)"', 1) AS DOUBLE)
+                       AS kv,
+                     l.o AS lab
+              FROM quads k
+              JOIN quads l ON l.s = k.s
+               AND l.p = '<http://www.w3.org/2000/01/rdf-schema#label>'
+              WHERE k.p = '<urn:hk:p/key>'
+            )
+            SELECT kv - floor(kv / 5) * 5 AS b,
+                   count(n)::BIGINT AS cnt,
+                   string_agg(lab, '|' ORDER BY lab) AS names,
+                   min(lab) AS one
+            FROM base GROUP BY 1
+        """,
+        "kg_sparql_nps": """
+            SELECT '<urn:hk:ctx/r/' || n_regionkey || '>' AS a,
+                   '<urn:hk:ctx/n/' || n_nationkey || '>' AS b
+            FROM nation
+            UNION ALL
+            SELECT '<urn:hk:ctx/root>',
+                   '<urn:hk:ctx/r/' || r_regionkey || '>'
+            FROM region
+        """,
+        "kg_sparql_path_agg": f"""
+            WITH RECURSIVE {_Q},
+            edges AS (
+              SELECT s AS src, o AS dst FROM quads
+              WHERE p IN ('<urn:hk:p/inNation>', '<urn:hk:p/inRegion>',
+                          '<urn:hk:p/fromNation>')
+            ),
+            reach AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+            )
+            SELECT r.dst AS r, count(*)::BIGINT AS n_members
+            FROM reach r
+            JOIN quads t ON t.s = r.dst
+             AND t.p = '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>'
+             AND t.o = '<urn:hk:class/Region>'
+            GROUP BY r.dst
+        """,
+        "doc_chain_clusters": """
+            SELECT i::VARCHAR AS id, '0' AS keep_id
+            FROM range(0, 10000) t(i)
         """,
         "kg_titles": f"""
             WITH {_Q}, {_NODES_CTE}

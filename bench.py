@@ -122,6 +122,8 @@ def main() -> None:
         "ann_lsh_topk",
         "embed_neardup",
         "doc_dup_clusters",
+        "doc_chain_clusters",
+        "kg_sparql_path_agg",
         "kg_pagerank",
         "evt_sessions",
         "doc_quality",

@@ -366,6 +366,11 @@ def duplicate_clusters(
             labels.join(nb_min, "id", "left")
             .select(
                 "id",
+                # the round's starting label rides along as `prev` so the
+                # convergence probe below is a filter over the ALREADY
+                # MATERIALIZED checkpoint blocks — not an extra join job
+                # against the previous round per iteration
+                F.col("lbl").alias("prev"),
                 F.when(
                     F.col("nl").isNotNull()
                     & (sl(F.col("nl")) < sl(F.col("lbl"))),
@@ -384,6 +389,7 @@ def duplicate_clusters(
             )
             .select(
                 "id",
+                "prev",
                 F.when(
                     F.col("ll").isNotNull() & (sl(F.col("ll")) < sl(F.col("lbl"))),
                     F.col("ll"),
@@ -393,9 +399,8 @@ def duplicate_clusters(
         new_ck = jumped.localCheckpoint()
         changed = (
             iters is None
-            and new_ck.join(
-                labels.withColumnRenamed("lbl", "old"), "id"
-            ).filter(F.col("lbl") != F.col("old")).limit(1).count() > 0
+            and new_ck.filter(F.col("lbl") != F.col("prev")).limit(1).count()
+            > 0
         )
         if prev_ck is not None:
             prev_ck.unpersist()

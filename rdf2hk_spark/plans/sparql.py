@@ -25,7 +25,8 @@ algebra and compiles to a DataFrame plan:
   SELECT [DISTINCT] / ORDER BY / LIMIT;
 - property paths over ground predicates: modifiers ``*``/``+``/``?``,
   sequences ``p1/p2``, alternatives ``(p1|p2)``, inverse ``^p``, and
-  negated property sets ``!p`` / ``!(p1|p2)`` (forward members),
+  negated property sets ``!p`` / ``!(p1|^p2)`` (forward AND inverse
+  members, SPARQL 1.1 §18.2.2.3 split),
   composable (e.g. ``^<parent>+``, ``(<a>/<b>)*``). The reference's own
   generated forms (``hasParent*`` at sparqlfactory.js:800,
   ``REFERENCES_URI?`` in the delete templates at :718-744) take the
@@ -37,15 +38,28 @@ algebra and compiles to a DataFrame plan:
   composition (A∘(C ∪ id) = A∘C ∪ A) instead of materializing a
   universal diagonal;
 - aggregates ``COUNT([DISTINCT] ?v | *)`` / ``SUM`` / ``MIN`` / ``MAX`` /
-  ``AVG`` with ``GROUP BY`` compile to groupBy().agg() (map-side partial
-  aggregation for free), and ``HAVING (...)`` to a post-aggregation filter
-  whose comparisons treat aggregate aliases as the numeric columns they
-  are. SUM/AVG decode typed-literal numeric values; MIN/MAX order term
-  strings exactly like ORDER BY does.
+  ``AVG`` / ``GROUP_CONCAT(?v; SEPARATOR "...")`` / ``SAMPLE`` with
+  ``GROUP BY`` compile to groupBy().agg() (map-side partial aggregation
+  for free; GROUP_CONCAT orders deterministically via sort_array, SAMPLE
+  picks the deterministic MIN), and ``HAVING (...)`` to a post-aggregation
+  filter whose comparisons treat aggregate aliases as the numeric columns
+  they are. SUM/AVG decode typed-literal numeric values; MIN/MAX order
+  term strings exactly like ORDER BY does;
+- ``FILTER EXISTS`` / ``FILTER NOT EXISTS`` → left-semi / left-anti joins
+  on the shared-variable domain (null-aware only when a shared variable
+  can actually be unbound — the compiler TRACKS maybe-null variables so
+  the common case stays a hash join); ``MINUS`` → left-anti with §18.5
+  minus-compatibility (disjoint domains remove nothing, diverging from
+  NOT EXISTS exactly as the spec demands);
+- ``BIND(expr AS ?v)`` and ``SELECT (expr AS ?v)`` expression projections:
+  arithmetic over decoded numerics, STR/STRLEN/UCASE/LCASE/CONCAT and
+  FLOOR/CEIL/ABS/ROUND — string results materialize as plain-literal term
+  strings, numeric results as native numeric columns visible to later
+  FILTERs/GROUP BYs.
 
 Subset contract: SELECT / ASK / DESCRIBE / CONSTRUCT queries over the forms
-above. Anything else (subqueries, BIND, inverse members inside a negated
-property set) raises ``SparqlSyntaxError`` — never a silently wrong
+above. Anything else (subqueries, [NOT] EXISTS nested inside a larger
+boolean expression) raises ``SparqlSyntaxError`` — never a silently wrong
 answer.
 DESCRIBE-style fetches also exist as ``plans.query.from_uris``; programmatic
 assembly (Q10) is the DataFrame/filter-dict API plus this text entry.
@@ -92,7 +106,7 @@ _TOKEN_RE = re.compile(
       | (?P<literal>"(?:[^"\\]|\\.)*"(?:@[A-Za-z0-9-]+|\^\^<[^<>\s]*>)?)
       | (?P<bnode>_:\w+)
       | (?P<num>[+-]?\d+(?:\.\d+)?)
-      | (?P<punct>&&|\|\||!=|<=|>=|[{}().,;*+?/^|=<>!])
+      | (?P<punct>&&|\|\||!=|<=|>=|[{}().,;*+?/^|=<>!-])
       | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
     )""",
     re.X,
@@ -200,17 +214,26 @@ class PMod:
 
 @dataclass
 class PNeg:
-    iris: list  # !<p> / !(<p1>|<p2>) — any single FORWARD step not in the set
+    """``!<p>`` / ``!(<p1>|^<p2>|...)`` — negated property set. ``fwd``
+    holds the forward members, ``inv`` the ``^``-prefixed inverse members.
+    Per SPARQL 1.1 §18.2.2.3 the set splits: a forward step whose predicate
+    is NOT in ``fwd`` (branch present iff fwd non-empty), union a REVERSED
+    step whose predicate is NOT in ``inv`` (branch present iff inv
+    non-empty) — ``!(^p)`` matches only reversed edges, never forward."""
+
+    fwd: list
+    inv: list
 
 
 @dataclass
 class Aggregate:
     """One ``(FUNC([DISTINCT] ?v|*) AS ?alias)`` projection item."""
 
-    func: str  # COUNT | SUM | MIN | MAX | AVG
+    func: str  # COUNT | SUM | MIN | MAX | AVG | GROUP_CONCAT | SAMPLE
     distinct: bool
     arg: str | None  # variable name, or None for COUNT(*)
     alias: str
+    separator: str = " "  # GROUP_CONCAT(...; SEPARATOR="...") only
 
 
 @dataclass
@@ -227,6 +250,35 @@ class Values:
 @dataclass
 class Optional_:
     group: "Group"
+
+
+@dataclass
+class ExistsFilter:
+    """``FILTER [NOT] EXISTS { ... }`` — correlated existence test, compiled
+    to a left-semi (positive) / left-anti join on the shared-variable
+    domain. Group-scoped like any FILTER (applies after all patterns)."""
+
+    group: "Group"
+    positive: bool
+
+
+@dataclass
+class Minus:
+    """``MINUS { ... }`` — SPARQL minus-compatibility semantics: remove a
+    solution iff the inner group has a COMPATIBLE solution whose domain
+    OVERLAPS it (disjoint domains remove nothing — the canonical divergence
+    from NOT EXISTS). Applied in group order, not deferred."""
+
+    group: "Group"
+
+
+@dataclass
+class Bind:
+    """``BIND(expr AS ?var)`` — extend each solution with a computed value.
+    Applied in group order; the variable must not already be in scope."""
+
+    expr: "Expr"
+    var: str
 
 
 @dataclass
@@ -340,7 +392,7 @@ class _Parser:
                     variables.append(self.next()[1][1:])
                     select_items.append(("var", variables[-1]))
                 elif (k, v) == ("punct", "("):
-                    select_items.append(("agg", self._aggregate()))
+                    select_items.append(self._select_paren())
                 else:
                     break
             if not select_items:
@@ -391,16 +443,29 @@ class _Parser:
             select_items=select_items, group_by=group_by, having=having,
         )
 
-    _AGG_FUNCS = ("COUNT", "SUM", "MIN", "MAX", "AVG")
+    _AGG_FUNCS = (
+        "COUNT", "SUM", "MIN", "MAX", "AVG", "GROUP_CONCAT", "SAMPLE"
+    )
 
-    def _aggregate(self) -> Aggregate:
-        """'(' FUNC '(' [DISTINCT] (?var|*) ')' AS ?alias ')'."""
+    def _select_paren(self) -> tuple:
+        """A parenthesized SELECT item: ``(FUNC(...) AS ?alias)`` when FUNC
+        is an aggregate, else an expression projection
+        ``(value-expr AS ?alias)`` → ("agg", Aggregate) | ("expr", (e, a))."""
         self.expect("punct", "(")
+        k, v = self.peek()
+        nxt = self.toks[self.i + 1] if self.i + 1 < len(self.toks) else ("eof", "")
+        if k == "word" and v.upper() in self._AGG_FUNCS and nxt == ("punct", "("):
+            return ("agg", self._aggregate_body())
+        e = self.value_expr()
+        self.expect("word", "AS")
+        alias = self.expect("var")[1:]
+        self.expect("punct", ")")
+        return ("expr", (e, alias))
+
+    def _aggregate_body(self) -> Aggregate:
+        """FUNC '(' [DISTINCT] (?var|*) [';' SEPARATOR '=' lit] ')' AS
+        ?alias ')' — the leading '(' is already consumed by _select_paren."""
         k, v = self.next()
-        if k != "word" or v.upper() not in self._AGG_FUNCS:
-            raise SparqlSyntaxError(
-                f"expected an aggregate function {self._AGG_FUNCS}, got {v!r}"
-            )
         func = v.upper()
         self.expect("punct", "(")
         distinct = self.kw("DISTINCT")
@@ -412,11 +477,29 @@ class _Parser:
             arg = None
         else:
             arg = self.expect("var")[1:]
+        separator = " "
+        if self.peek() == ("punct", ";"):
+            if func != "GROUP_CONCAT":
+                raise SparqlSyntaxError(
+                    f"only GROUP_CONCAT takes a SEPARATOR, not {func}"
+                )
+            self.next()
+            self.expect("word", "SEPARATOR")
+            self.expect("punct", "=")
+            kk, lit = self.next()
+            if kk != "literal":
+                raise SparqlSyntaxError("SEPARATOR must be a string literal")
+            mm = re.match(r'(?s)^"(.*)"$', lit)
+            if mm is None:
+                raise SparqlSyntaxError(
+                    "SEPARATOR must be a plain string literal"
+                )
+            separator = mm.group(1)
         self.expect("punct", ")")
         self.expect("word", "AS")
         alias = self.expect("var")[1:]
         self.expect("punct", ")")
-        return Aggregate(func, distinct, arg, alias)
+        return Aggregate(func, distinct, arg, alias, separator)
 
     def _describe(self) -> Query:
         """DESCRIBE (?var | <iri>)+ [FROM <g>]* [WHERE group] — the form
@@ -476,9 +559,18 @@ class _Parser:
                 raise SparqlSyntaxError("unterminated group")
             if k == "word" and v.upper() == "FILTER":
                 self.next()
+                g.items.append(self._filter_constraint())
+            elif k == "word" and v.upper() == "MINUS":
+                self.next()
+                g.items.append(Minus(self.group()))
+            elif k == "word" and v.upper() == "BIND":
+                self.next()
                 self.expect("punct", "(")
-                g.items.append(Filter(self.expr()))
+                e = self.value_expr()
+                self.expect("word", "AS")
+                var = self.expect("var")[1:]
                 self.expect("punct", ")")
+                g.items.append(Bind(e, var))
             elif k == "word" and v.upper() == "VALUES":
                 self.next()
                 var = self.expect("var")[1:]
@@ -506,6 +598,101 @@ class _Parser:
             if self.peek() == ("punct", "."):
                 self.next()
         raise AssertionError
+
+    def _filter_constraint(self):
+        """The constraint after FILTER: ``EXISTS {..}`` / ``NOT EXISTS {..}``
+        (BuiltInCall — no parentheses per the grammar), the same wrapped in
+        a single pair of parentheses, or a parenthesized boolean
+        expression. [NOT] EXISTS inside a LARGER boolean expression is not
+        supported (raises — never a silently wrong answer)."""
+        k, v = self.peek()
+        if k == "word" and v.upper() in ("EXISTS", "NOT"):
+            return self._exists()
+        self.expect("punct", "(")
+        k, v = self.peek()
+        if k == "word" and v.upper() in ("EXISTS", "NOT"):
+            e = self._exists()
+            self.expect("punct", ")")
+            return e
+        e = Filter(self.expr())
+        self.expect("punct", ")")
+        return e
+
+    def _exists(self) -> "ExistsFilter":
+        positive = True
+        if self.kw("NOT"):
+            positive = False
+        self.expect("word", "EXISTS")
+        return ExistsFilter(self.group(), positive)
+
+    # ---- value expressions (BIND / SELECT-expression projections) ----
+    # precedence: additive < multiplicative < unary < primary
+
+    _VALUE_FUNCS = (
+        "STR", "STRLEN", "UCASE", "LCASE", "CONCAT",
+        "FLOOR", "CEIL", "ABS", "ROUND",
+    )
+
+    def value_expr(self) -> Expr:
+        self._enter()
+        e = self._add_expr()
+        self.depth -= 1
+        return e
+
+    def _add_expr(self) -> Expr:
+        e = self._mul_expr()
+        while True:
+            k, v = self.peek()
+            if (k, v) == ("punct", "+"):
+                self.next()
+                e = Expr("add", [e, self._mul_expr()])
+            elif (k, v) == ("punct", "-"):
+                self.next()
+                e = Expr("sub", [e, self._mul_expr()])
+            elif k == "num" and v[0] in "+-":
+                # '?x+2' tokenizes the sign into the number — unfold it
+                self.next()
+                e = Expr(
+                    "add" if v[0] == "+" else "sub",
+                    [e, Expr("val", [("num", float(v[1:]))])],
+                )
+            else:
+                return e
+
+    def _mul_expr(self) -> Expr:
+        e = self._unary_expr()
+        while self.peek() in (("punct", "*"), ("punct", "/")):
+            op = self.next()[1]
+            e = Expr("mul" if op == "*" else "div", [e, self._unary_expr()])
+        return e
+
+    def _unary_expr(self) -> Expr:
+        k, v = self.peek()
+        if (k, v) == ("punct", "-"):
+            self.next()
+            return Expr("neg", [self._unary_expr()])
+        if (k, v) == ("punct", "+"):
+            self.next()
+            return self._unary_expr()
+        if (k, v) == ("punct", "("):
+            self._enter()
+            self.next()
+            e = self._add_expr()
+            self.expect("punct", ")")
+            self.depth -= 1
+            return e
+        if k == "word" and v.upper() in self._VALUE_FUNCS:
+            fname = self.next()[1].upper()
+            self.expect("punct", "(")
+            args = [self.value_expr()]
+            while self.peek() == ("punct", ","):
+                self.next()
+                args.append(self.value_expr())
+            self.expect("punct", ")")
+            if fname != "CONCAT" and len(args) != 1:
+                raise SparqlSyntaxError(f"{fname} takes exactly one argument")
+            return Expr(fname.lower(), args)
+        return Expr("val", [self._operand()])
 
     def _term_token(self) -> str:
         k, v = self.next()
@@ -573,22 +760,30 @@ class _Parser:
     def _path_prim(self, allow_path: bool):
         k, v = self.peek()
         if (k, v) == ("punct", "!"):
-            # negated property set: !<p> or !(<p1>|<p2>) — forward members
-            # only (the spec's ^-members inside a negated set are not
-            # supported and would raise at the _term_token below)
+            # negated property set: !<p> / !^<p> / !(<p1>|^<p2>|...) —
+            # forward and ^-inverse members split per SPARQL 1.1 §18.2.2.3
             self._no_path(allow_path)
             self.next()
-            iris = []
+            fwd: list[str] = []
+            inv: list[str] = []
+
+            def member() -> None:
+                if self.peek() == ("punct", "^"):
+                    self.next()
+                    inv.append(self._term_token())
+                else:
+                    fwd.append(self._term_token())
+
             if self.peek() == ("punct", "("):
                 self.next()
-                iris.append(self._term_token())
+                member()
                 while self.peek() == ("punct", "|"):
                     self.next()
-                    iris.append(self._term_token())
+                    member()
                 self.expect("punct", ")")
             else:
-                iris.append(self._term_token())
-            return PNeg(iris)
+                member()
+            return PNeg(fwd, inv)
         if (k, v) == ("punct", "^"):
             self._no_path(allow_path)
             self._enter()
@@ -784,6 +979,117 @@ def _compile_expr(
         }
         return ops[op](lcol, rcol)
     raise SparqlSyntaxError(f"unknown expression {e.op}")
+
+
+_NUMERIC_DTYPES = ("tinyint", "smallint", "int", "bigint", "float", "double")
+
+
+def _numeric_dtype_cols(df: DataFrame) -> set[str]:
+    """Columns already carrying NATIVE numeric values (BIND results,
+    aggregate aliases) — these must never go through the term-string
+    literal decode in comparisons."""
+    return {
+        n
+        for n, dt in df.dtypes
+        if dt in _NUMERIC_DTYPES or dt.startswith("decimal")
+    }
+
+
+def _compile_value(
+    e: Expr,
+    frame_cols: set[str],
+    numeric_cols: set[str],
+    _depth: int = 0,
+) -> tuple[Column, str]:
+    """Compile a VALUE expression (BIND / SELECT expression projection) →
+    (Column, kind), kind ∈ {'num', 'str', 'term'}:
+
+    - arithmetic (+ - * / unary-) decodes term-string operands to doubles
+      (``try_cast`` — non-numeric terms become null, SPARQL's type-error-
+      drops-the-row semantic under the later filter/projection);
+    - STR yields the RAW text: IRI without angle brackets, literal lexical
+      form, numbers rendered by cast — a 'str'. STRLEN/UCASE/LCASE/CONCAT
+      operate on that; FLOOR/CEIL/ABS/ROUND are numeric;
+    - 'str' results stay raw INTERNALLY so nested string functions do not
+      double-quote; ``_value_as_term_or_num`` wraps the final result as a
+      plain-literal term string (``"..."``), keeping every materialized
+      variable inside the engine's term-string model. 'num' results stay
+      NATIVE numeric columns (aggregate-alias-style) — later FILTERs see
+      them through ``numeric_cols``."""
+    if _depth > _MAX_DEPTH:
+        raise SparqlSyntaxError(f"expression deeper than {_MAX_DEPTH}")
+    d = _depth + 1
+    if e.op == "val":
+        kind, v = e.args[0]
+        if kind == "var":
+            if v not in frame_cols:
+                raise SparqlSyntaxError(f"unbound variable ?{v} in expression")
+            return F.col(v), ("num" if v in numeric_cols else "term")
+        if kind == "num":
+            return F.lit(v), "num"
+        return F.lit(v), "term"
+    if e.op in ("add", "sub", "mul", "div"):
+        l, lk = _compile_value(e.args[0], frame_cols, numeric_cols, d)
+        r, rk = _compile_value(e.args[1], frame_cols, numeric_cols, d)
+        l = l if lk == "num" else _numeric(l)
+        r = r if rk == "num" else _numeric(r)
+        out = {
+            "add": lambda: l + r,
+            "sub": lambda: l - r,
+            "mul": lambda: l * r,
+            "div": lambda: l / r,
+        }[e.op]()
+        return out, "num"
+    if e.op == "neg":
+        c, k = _compile_value(e.args[0], frame_cols, numeric_cols, d)
+        return -(c if k == "num" else _numeric(c)), "num"
+    if e.op in ("floor", "ceil", "abs", "round"):
+        c, k = _compile_value(e.args[0], frame_cols, numeric_cols, d)
+        c = c if k == "num" else _numeric(c)
+        fn = {"floor": F.floor, "ceil": F.ceil, "abs": F.abs, "round": F.round}
+        # floor/ceil return LONG in Spark but DOUBLE in most SQL engines —
+        # normalize to double so downstream arithmetic/oracles agree
+        return fn[e.op](c).cast("double"), "num"
+    if e.op == "str":
+        c, k = _compile_value(e.args[0], frame_cols, numeric_cols, d)
+        if k == "num":
+            return c.cast("string"), "str"
+        if k == "str":
+            return c, "str"
+        return (
+            F.when(
+                c.startswith("<") & c.endswith(">"),
+                F.regexp_extract(c, r"(?s)^<(.*)>$", 1),
+            ).otherwise(F.coalesce(T.literal_value(c), c)),
+            "str",
+        )
+    if e.op in ("strlen", "ucase", "lcase"):
+        s, _ = _compile_value(
+            Expr("str", [e.args[0]]), frame_cols, numeric_cols, d
+        )
+        if e.op == "strlen":
+            return F.length(s).cast("bigint"), "num"
+        return (F.upper(s) if e.op == "ucase" else F.lower(s)), "str"
+    if e.op == "concat":
+        parts = [
+            _compile_value(Expr("str", [a]), frame_cols, numeric_cols, d)[0]
+            for a in e.args
+        ]
+        return F.concat(*parts), "str"
+    raise SparqlSyntaxError(f"unknown value expression {e.op}")
+
+
+def _value_as_term_or_num(
+    e: Expr, frame_cols: set[str], numeric_cols: set[str]
+) -> tuple[Column, str]:
+    """Materialize a value expression: string results become plain-literal
+    TERM strings (``"..."`` — comparable with literal tokens in later
+    FILTERs and with the rest of the term-string variable model); numeric
+    results stay native numeric columns."""
+    c, k = _compile_value(e, frame_cols, numeric_cols)
+    if k == "str":
+        return F.concat(F.lit('"'), c, F.lit('"')), "str"
+    return c, k
 
 
 def _scan(quads: DataFrame, pat: Pattern) -> DataFrame:
@@ -996,11 +1302,25 @@ def _path_pairs(quads: DataFrame, node) -> tuple[DataFrame, bool]:
             False,
         )
     if isinstance(node, PNeg):
-        return (
-            quads.filter(~F.col("p").isin(node.iris))
-            .select(F.col("s").alias("src"), F.col("o").alias("dst")),
-            False,
-        )
+        # §18.2.2.3 split: forward steps not in fwd ∪ REVERSED steps not in
+        # inv — each branch present only when its member set is non-empty
+        # (!(^p) matches only reversed edges). Branch union is a bag, like
+        # the PAlt the spec's translation rewrites to.
+        branches = []
+        if node.fwd:
+            branches.append(
+                quads.filter(~F.col("p").isin(node.fwd))
+                .select(F.col("s").alias("src"), F.col("o").alias("dst"))
+            )
+        if node.inv:
+            branches.append(
+                quads.filter(~F.col("p").isin(node.inv))
+                .select(F.col("o").alias("src"), F.col("s").alias("dst"))
+            )
+        out = branches[0]
+        for b in branches[1:]:
+            out = out.unionByName(b)
+        return out, False
     if isinstance(node, PInv):
         pairs, zero = _path_pairs(quads, node.inner)
         return (
@@ -1157,9 +1477,75 @@ def _join(left: DataFrame | None, right: DataFrame, how: str = "inner") -> DataF
     return left.crossJoin(right)
 
 
+def _minus(
+    left: DataFrame, right: DataFrame, slow_cols: set[str]
+) -> DataFrame:
+    """SPARQL MINUS (§18.5 minus-compatibility): drop a left solution iff
+    the right side has a solution that is COMPATIBLE with it (agrees on
+    every shared variable bound in both) AND whose domain OVERLAPS it (at
+    least one shared variable bound in both). No shared variables — or
+    shared variables never co-bound — removes NOTHING: the canonical
+    divergence from NOT EXISTS. ``slow_cols`` lists shared columns that can
+    be null (unbound); when none can, this is one hash left-anti join on
+    the shared keys."""
+    shared = [c for c in left.columns if c in right.columns]
+    if not shared:
+        return left
+    r = right.select(*shared).dropDuplicates()
+    if not (slow_cols & set(shared)):
+        return left.join(r, shared, "left_anti")
+    rr = r.select(*[F.col(c).alias(f"_r_{c}") for c in shared])
+    compat = F.lit(True)
+    overlap = F.lit(False)
+    for c in shared:
+        lc, rc = F.col(c), F.col(f"_r_{c}")
+        compat = compat & (lc.isNull() | rc.isNull() | (lc == rc))
+        overlap = overlap | (lc.isNotNull() & rc.isNotNull())
+    return left.join(rr, compat & overlap, "left_anti")
+
+
+def _exists_join(
+    left: DataFrame, right: DataFrame, positive: bool, slow_cols: set[str]
+) -> DataFrame:
+    """FILTER [NOT] EXISTS: correlated existence over the shared-variable
+    domain — a left-semi (positive) / left-anti join. Substitution
+    semantics for unbound values: a variable the outer solution does NOT
+    bind (null) stays FREE in the inner pattern, so it matches any inner
+    binding (and an inner solution leaving it unbound matches any outer
+    value). With no shared variables the test degenerates to "does the
+    inner pattern match at all" — semi/anti against its first row. When no
+    shared column can be null, this is one hash semi/anti join."""
+    shared = [c for c in left.columns if c in right.columns]
+    how = "left_semi" if positive else "left_anti"
+    if not shared:
+        return left.join(right.limit(1), F.lit(True), how)
+    r = right.select(*shared).dropDuplicates()
+    if not (slow_cols & set(shared)):
+        return left.join(r, shared, how)
+    rr = r.select(*[F.col(c).alias(f"_r_{c}") for c in shared])
+    cond = F.lit(True)
+    for c in shared:
+        lc, rc = F.col(c), F.col(f"_r_{c}")
+        cond = cond & (lc.isNull() | rc.isNull() | (lc == rc))
+    return left.join(rr, cond, how)
+
+
 def _compile_group(quads: DataFrame, spark, group: Group) -> DataFrame | None:
+    return _compile_group_mn(quads, spark, group)[0]
+
+
+def _compile_group_mn(
+    quads: DataFrame, spark, group: Group
+) -> tuple[DataFrame | None, set[str]]:
+    """Compile a group to (bindings frame, maybe-null columns). The second
+    element tracks which variables can be UNBOUND (null) in some solution —
+    introduced by OPTIONAL right sides, UNION branches that lack a
+    variable, or BIND expressions that can evaluate to error (null). MINUS
+    and EXISTS joins use it to keep the fast hash-join path whenever the
+    shared domain is provably always-bound."""
     frame: DataFrame | None = None
-    deferred: list[Filter] = []
+    maybe_null: set[str] = set()
+    deferred: list = []  # Filter | ExistsFilter — whole-group scope
     for item in group.items:
         if isinstance(item, Pattern):
             if item.pexpr is not None:
@@ -1169,20 +1555,49 @@ def _compile_group(quads: DataFrame, spark, group: Group) -> DataFrame | None:
             else:
                 frame = _join(frame, _scan_path(quads, item))
         elif isinstance(item, Group):
-            sub = _compile_group(quads, spark, item)
+            sub, sub_mn = _compile_group_mn(quads, spark, item)
             if sub is not None:
                 frame = _join(frame, sub)
+                maybe_null |= sub_mn
         elif isinstance(item, Union):
-            l = _compile_group(quads, spark, item.left)
-            r = _compile_group(quads, spark, item.right)
+            l, l_mn = _compile_group_mn(quads, spark, item.left)
+            r, r_mn = _compile_group_mn(quads, spark, item.right)
             if l is None or r is None:
                 raise SparqlSyntaxError("empty UNION branch")
             u = l.unionByName(r, allowMissingColumns=True)
             frame = _join(frame, u)
+            # a var missing from either branch is unbound in the other's rows
+            maybe_null |= l_mn | r_mn
+            maybe_null |= set(l.columns) ^ set(r.columns)
         elif isinstance(item, Optional_):
-            sub = _compile_group(quads, spark, item.group)
+            sub, sub_mn = _compile_group_mn(quads, spark, item.group)
             if sub is not None:
+                new_cols = set(sub.columns) - set(
+                    frame.columns if frame is not None else []
+                )
                 frame = _join(frame, sub, how="left")
+                maybe_null |= sub_mn | new_cols
+        elif isinstance(item, Minus):
+            sub, _sub_mn = _compile_group_mn(quads, spark, item.group)
+            if sub is None:
+                raise SparqlSyntaxError("empty MINUS group")
+            if frame is None:
+                raise SparqlSyntaxError("MINUS without a preceding pattern")
+            frame = _minus(frame, sub, maybe_null | _sub_mn)
+        elif isinstance(item, Bind):
+            if frame is not None and item.var in frame.columns:
+                raise SparqlSyntaxError(
+                    f"BIND would rebind ?{item.var} already in scope"
+                )
+            if frame is None:
+                # BIND over the empty group: ONE empty solution, extended
+                frame = spark.range(1).select()
+            col, _ = _value_as_term_or_num(
+                item.expr, set(frame.columns), _numeric_dtype_cols(frame)
+            )
+            frame = frame.withColumn(item.var, col)
+            # expression errors surface as null ⇒ the var may be unbound
+            maybe_null.add(item.var)
         elif isinstance(item, Values):
             if frame is not None and item.var in frame.columns:
                 frame = frame.filter(F.col(item.var).isin(item.terms))
@@ -1191,7 +1606,7 @@ def _compile_group(quads: DataFrame, spark, group: Group) -> DataFrame | None:
                     [(t,) for t in item.terms], f"{item.var} string"
                 )
                 frame = _join(frame, vf)
-        elif isinstance(item, Filter):
+        elif isinstance(item, (Filter, ExistsFilter)):
             deferred.append(item)
         else:  # pragma: no cover
             raise AssertionError(item)
@@ -1199,8 +1614,20 @@ def _compile_group(quads: DataFrame, spark, group: Group) -> DataFrame | None:
     for flt in deferred:
         if frame is None:
             raise SparqlSyntaxError("FILTER in an empty group")
-        frame = frame.filter(_compile_expr(flt.expr, set(frame.columns)))
-    return frame
+        if isinstance(flt, ExistsFilter):
+            sub, sub_mn = _compile_group_mn(quads, spark, flt.group)
+            if sub is None:
+                raise SparqlSyntaxError("empty EXISTS group")
+            frame = _exists_join(frame, sub, flt.positive, maybe_null | sub_mn)
+        else:
+            frame = frame.filter(
+                _compile_expr(
+                    flt.expr,
+                    set(frame.columns),
+                    numeric_cols=_numeric_dtype_cols(frame),
+                )
+            )
+    return frame, maybe_null
 
 
 def _agg_col(a: Aggregate, frame_cols: set[str]) -> Column:
@@ -1221,9 +1648,34 @@ def _agg_col(a: Aggregate, frame_cols: set[str]) -> Column:
     elif a.func in ("MIN", "MAX"):
         # term-string ordering — consistent with ORDER BY's ordering
         agg = F.min(col) if a.func == "MIN" else F.max(col)
+    elif a.func == "GROUP_CONCAT":
+        # the spec leaves concatenation order implementation-defined; this
+        # engine DEFINES it as ascending term-string order (sort_array over
+        # the collected values) so results are deterministic across
+        # partitionings and oracle-matchable (string_agg ... ORDER BY)
+        coll = F.collect_set(col) if a.distinct else F.collect_list(col)
+        agg = F.array_join(F.sort_array(coll), a.separator)
+    elif a.func == "SAMPLE":
+        # the spec allows ANY value from the group; picking MIN makes the
+        # choice deterministic and partitioning-invariant
+        agg = F.min(col)
     else:  # pragma: no cover — parser admits only the funcs above
         raise SparqlSyntaxError(f"unknown aggregate {a.func}")
     return agg.alias(a.alias)
+
+
+def _expr_vars(e: Expr) -> set[str]:
+    """Variables referenced by a value expression (for scope validation)."""
+    out: set[str] = set()
+    if e.op == "val":
+        kind, v = e.args[0]
+        if kind == "var":
+            out.add(v)
+        return out
+    for a in e.args:
+        if isinstance(a, Expr):
+            out |= _expr_vars(a)
+    return out
 
 
 def _compile_aggregate(frame: DataFrame, q: Query) -> DataFrame:
@@ -1233,6 +1685,7 @@ def _compile_aggregate(frame: DataFrame, q: Query) -> DataFrame:
     cols = set(frame.columns)
     plain = [name for kind, name in q.select_items if kind == "var"]
     aggs = [item for kind, item in q.select_items if kind == "agg"]
+    exprs = [item for kind, item in q.select_items if kind == "expr"]
     if not q.select_items:  # SELECT * GROUP BY ... projects the group keys
         plain = list(q.group_by)
     for v in q.group_by:
@@ -1252,31 +1705,51 @@ def _compile_aggregate(frame: DataFrame, q: Query) -> DataFrame:
         if a.alias in seen_aliases:  # would escape as AMBIGUOUS_REFERENCE
             raise SparqlSyntaxError(f"duplicate aggregate alias ?{a.alias}")
         seen_aliases.add(a.alias)
+    agg_aliases = set(seen_aliases)
+    for e, alias in exprs:
+        if alias in cols or alias in seen_aliases:
+            raise SparqlSyntaxError(
+                f"expression alias ?{alias} is already bound"
+            )
+        seen_aliases.add(alias)
+        # grouped scope: an expression may reference group keys and
+        # (already-computed) aggregate aliases, nothing else
+        bad = _expr_vars(e) - set(q.group_by) - agg_aliases
+        if bad:
+            raise SparqlSyntaxError(
+                "SELECT expression over non-group-key variables "
+                f"{sorted(bad)} — wrap in an aggregate or GROUP BY them"
+            )
     if not aggs:  # bare GROUP BY: the distinct group keys
-        keys = frame.select(*q.group_by).distinct()
-        if q.having is not None:
-            keys = keys.filter(_compile_expr(q.having, set(keys.columns)))
-        return keys.select(*plain)
-    agg_cols = [_agg_col(a, cols) for a in aggs]
-    grouped = frame.groupBy(*q.group_by).agg(*agg_cols)
+        grouped = frame.select(*q.group_by).distinct()
+    else:
+        grouped = frame.groupBy(*q.group_by).agg(
+            *[_agg_col(a, cols) for a in aggs]
+        )
     if q.having is not None:
         # HAVING scope: group keys + aggregate aliases, BEFORE projection;
         # alias columns are already numeric — no term-string decode
-        numeric = {
-            name
-            for name, dt in grouped.dtypes
-            if dt in ("tinyint", "smallint", "int", "bigint", "float", "double")
-            or dt.startswith("decimal")
-        }
         grouped = grouped.filter(
             _compile_expr(
-                q.having, set(grouped.columns), numeric_cols=numeric
+                q.having,
+                set(grouped.columns),
+                numeric_cols=_numeric_dtype_cols(grouped),
             )
         )
-    projection = [
-        name if kind == "var" else name.alias
-        for kind, name in q.select_items
-    ]
+    gcols = set(grouped.columns)
+    gnum = _numeric_dtype_cols(grouped)
+    projection = []
+    for kind, item in q.select_items:
+        if kind == "var":
+            projection.append(F.col(item))
+        elif kind == "agg":
+            projection.append(F.col(item.alias))
+        else:
+            e, alias = item
+            c, _ = _value_as_term_or_num(e, gcols, gnum)
+            projection.append(c.alias(alias))
+    if not projection:  # SELECT * GROUP BY ...
+        projection = [F.col(v) for v in plain]
     return grouped.select(*projection)
 
 
@@ -1429,11 +1902,35 @@ def run_sparql(quads: DataFrame, text: str, hide_hk: bool = False) -> DataFrame:
     else:
         if q.having is not None:
             raise SparqlSyntaxError("HAVING requires GROUP BY or aggregates")
-        variables = q.variables or sorted(frame.columns)
-        missing = [v for v in variables if v not in frame.columns]
-        if missing:
-            raise SparqlSyntaxError(f"projected variables not bound: {missing}")
-        out = frame.select(*variables)
+        if any(kind == "expr" for kind, _ in q.select_items):
+            cols = set(frame.columns)
+            numeric = _numeric_dtype_cols(frame)
+            projection, seen = [], set()
+            for kind, item in q.select_items:
+                if kind == "var":
+                    if item not in cols:
+                        raise SparqlSyntaxError(
+                            f"projected variable ?{item} not bound"
+                        )
+                    projection.append(F.col(item))
+                else:
+                    e, alias = item
+                    if alias in cols or alias in seen:
+                        raise SparqlSyntaxError(
+                            f"expression alias ?{alias} is already bound"
+                        )
+                    seen.add(alias)
+                    c, _ = _value_as_term_or_num(e, cols, numeric)
+                    projection.append(c.alias(alias))
+            out = frame.select(*projection)
+        else:
+            variables = q.variables or sorted(frame.columns)
+            missing = [v for v in variables if v not in frame.columns]
+            if missing:
+                raise SparqlSyntaxError(
+                    f"projected variables not bound: {missing}"
+                )
+            out = frame.select(*variables)
     if q.distinct:
         out = out.distinct()
     if q.order_by:

