@@ -1011,6 +1011,33 @@ def q_doc_token_stats(spark, sf_dir):
     return textstats.token_stats(_docs(spark, sf_dir))
 
 
+def _messy_docs(spark, sf_dir):
+    """The documents table with every space deterministically doubled into
+    a tab+space run — real-web-corpus whitespace (tabs, runs) that the
+    'simple' single-space tokenizer would mis-split into empty tokens, but
+    the 'ws' (\\s+) tokenizer handles; both engines derive it identically."""
+    return _docs(spark, sf_dir).withColumn(
+        "text", F.regexp_replace(F.col("text"), " ", "\t ")
+    )
+
+
+def q_doc_token_stats_ws(spark, sf_dir):
+    """token_stats under the whitespace-RUN tokenizer over messy text: the
+    \\s+ token count matches the clean corpus's word count even though the
+    text now carries tab+space runs."""
+    return textstats.token_stats(_messy_docs(spark, sf_dir), tokenizer="ws")
+
+
+def q_doc_minhash_ws(spark, sf_dir):
+    """MinHash signatures under the ws tokenizer over messy text: shingles
+    (and therefore signatures) must be IDENTICAL to the clean-text simple-
+    tokenizer run — whitespace normalization is exactly what makes near-dup
+    detection robust to reformatted copies."""
+    return dedup.minhash_signature_rows(
+        _messy_docs(spark, sf_dir), k=3, num_hashes=16, tokenizer="ws"
+    )
+
+
 def q_doc_quality(spark, sf_dir):
     return textstats.quality_stats(_docs(spark, sf_dir))
 
@@ -1084,6 +1111,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_windowed_counts": q_evt_windowed_counts,
         "evt_sessions": q_evt_sessions,
         "doc_token_stats": q_doc_token_stats,
+        "doc_token_stats_ws": q_doc_token_stats_ws,
+        "doc_minhash_ws": q_doc_minhash_ws,
         "doc_quality": q_doc_quality,
         "doc_langid": q_doc_langid,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1159,6 +1188,28 @@ txt AS (
 
 
 # shared SQL pieces for the documents/embeddings oracles
+# ws-tokenizer twin over deterministically-messied text (doc_*_ws oracles):
+# every space becomes a tab+space RUN; \s+ splitting recovers the original
+# token stream, so ws-mode shingles equal the clean simple-mode shingles
+_DOC_SH_WS = r"""
+docs_m AS (
+  SELECT doc_id, replace(text, ' ', chr(9) || ' ') AS text FROM documents
+),
+t AS (
+  SELECT doc_id AS id,
+         CASE WHEN length(trim(lower(text))) = 0
+              THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS w
+  FROM docs_m
+),
+sh AS (
+  SELECT DISTINCT id, s AS shingle FROM (
+    SELECT id, unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+    FROM t) x
+)
+"""
+
 _DOC_SH = """
 t AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS w FROM documents),
 sh AS (
@@ -1670,6 +1721,10 @@ def oracle_sql() -> dict[str, str]:
             WITH {_DOC_SH}, {_MINHASH_CTE}
             SELECT id, hidx::INTEGER AS hidx, minh FROM mh
         """,
+        "doc_minhash_ws": f"""
+            WITH {_DOC_SH_WS}, {_MINHASH_CTE}
+            SELECT id, hidx::INTEGER AS hidx, minh FROM mh
+        """,
         "doc_lsh_pairs": f"""
             WITH {_DOC_SH}, {_MINHASH_CTE}, {_BANDS_CTE}
             SELECT DISTINCT k1.id AS a, k2.id AS b
@@ -2094,6 +2149,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_idx, count(*)::BIGINT AS n_events,
                    min(ts) AS t_start, max(ts) AS t_end
             FROM s GROUP BY user_id, session_idx
+        """,
+        "doc_token_stats_ws": r"""
+            WITH docs_m AS (
+              SELECT doc_id, replace(text, ' ', chr(9) || ' ') AS text
+              FROM documents
+            )
+            SELECT doc_id AS id, length(text)::BIGINT AS n_chars,
+                   (CASE WHEN length(trim(text)) = 0 THEN 0
+                         ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                    END)::BIGINT AS n_ws_tokens,
+                   len(regexp_extract_all(text,
+                       '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))::BIGINT AS n_re_tokens
+            FROM docs_m
         """,
         "doc_token_stats": """
             SELECT doc_id AS id, length(text)::BIGINT AS n_chars,

@@ -85,10 +85,16 @@ def shingles_from_tokens(toks: F.Column, k: int = 3) -> F.Column:
 
 
 def word_shingles(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    tokenizer: str = "simple",
 ) -> DataFrame:
-    """Distinct word k-shingles per document: (id, shingle)."""
-    return tokens.tokens_frame(df, id_col, text_col).select(
+    """Distinct word k-shingles per document: (id, shingle). ``tokenizer``
+    picks the split rule (ops.tokens.tokens_frame): "simple" single-space
+    or "ws" whitespace-run."""
+    return tokens.tokens_frame(df, id_col, text_col, mode=tokenizer).select(
         "id",
         F.explode(shingles_from_tokens(F.col("toks"), k)).alias("shingle"),
     )
@@ -125,7 +131,12 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
 
 
 def _wide_signature(
-    df: DataFrame, id_col: str, text_col: str, k: int, num_hashes: int
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    num_hashes: int,
+    tokenizer: str = "simple",
 ) -> DataFrame:
     """One wide row per doc: (id, m0..m{H-1}) via a SINGLE groupBy(id) with
     ``num_hashes`` conditional mins. Versus groupBy(id, hidx): same partial
@@ -135,7 +146,7 @@ def _wide_signature(
     min/when expressions stay inside whole-stage codegen (nested
     higher-order-function variants are CodegenFallback and measured slower)."""
     a, b, c = minhash_perm_consts(num_hashes)
-    sh = word_shingles(df, id_col, text_col, k)
+    sh = word_shingles(df, id_col, text_col, k, tokenizer=tokenizer)
     # ONE md5 per shingle yielding the (h0, h1) base pair (CollapseProject
     # keeps the alias single-evaluated — it never inlines a non-cheap
     # expression referenced more than once), then one linear permutation per
@@ -168,12 +179,13 @@ def minhash_signature_rows(
     text_col: str = "text",
     k: int = 3,
     num_hashes: int = 16,
+    tokenizer: str = "simple",
 ) -> DataFrame:
     """(id, hidx, minh) minhash signature with ONE shuffle carrying one wide
     row per doc (see ``_wide_signature``), versus ``word_shingles`` ∘
     ``minhash_signatures`` whose groupBy(id, hidx) shuffles ``num_hashes``
     keyed rows per doc. Same output, byte-identical minima."""
-    wide = _wide_signature(df, id_col, text_col, k, num_hashes)
+    wide = _wide_signature(df, id_col, text_col, k, num_hashes, tokenizer)
     return wide.select(
         "id",
         F.posexplode(

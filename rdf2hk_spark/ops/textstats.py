@@ -21,14 +21,32 @@ LANG_MARKERS = {
 }
 
 
-def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def token_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokenizer: str = "simple",
+) -> DataFrame:
     """(id, n_chars, n_ws_tokens, n_re_tokens): whitespace tokens + a
-    BPE-ish lexer count (letter runs / digit runs / single other chars)."""
+    BPE-ish lexer count (letter runs / digit runs / single other chars).
+    ``tokenizer="ws"`` counts whitespace-RUN tokens (trim + \s+ split,
+    whitespace-only text counts 0) — the production rule for corpora with
+    tabs/newlines/multi-space runs."""
     t = F.col(text_col)
+    if tokenizer == "simple":
+        n_ws = F.size(F.split(t, " "))
+    elif tokenizer == "ws":
+        # regex trim: F.trim strips spaces only, not tabs/newlines
+        tt = F.regexp_replace(t, r"^\s+|\s+$", "")
+        n_ws = F.when(F.length(tt) == 0, F.lit(0)).otherwise(
+            F.size(F.split(tt, r"\s+"))
+        )
+    else:
+        raise ValueError(f"unknown tokenizer {tokenizer!r}")
     return df.select(
         F.col(id_col).alias("id"),
         F.length(t).cast("long").alias("n_chars"),
-        F.size(F.split(t, " ")).cast("long").alias("n_ws_tokens"),
+        n_ws.cast("long").alias("n_ws_tokens"),
         F.regexp_count(t, F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]")).cast("long").alias(
             "n_re_tokens"
         ),

@@ -135,7 +135,7 @@ def start_quad_merge_stream(
 
 
 def stream_sessionize(
-    events: DataFrame, gap_minutes: int = 30
+    events: DataFrame, gap_minutes: int = 30, emit_late_count: bool = False
 ) -> DataFrame:
     """Cross-micro-batch gap sessionization via ``applyInPandasWithState``,
     sharded by user_id — the streaming twin of ``ops.events.sessionize``.
@@ -150,10 +150,17 @@ def stream_sessionize(
     emits ONE snapshot row per session TOUCHED in the batch (outputMode
     update) — downstream keeps the latest row per (user_id, session_idx).
     In-order delivery per user is assumed across batches (enforce with a
-    watermark + sorted file drops upstream); an out-of-order event older
+    watermark + sorted file drops upstream). An out-of-order event older
     than the open session's last timestamp extends that session rather
-    than reopening closed ones. t_start/t_end are emitted as epoch
-    seconds (floor of the microsecond state).
+    than reopening closed ones, AND folds into its start
+    (start := min(start, t)) so a late-but-in-gap arrival converges to the
+    batch twin's t_start instead of silently diverging (ADVICE r4). Late
+    arrivals are counted per session in state; ``emit_late_count=True``
+    adds that counter as an ``n_late`` output column — divergence from the
+    batch twin (a late event older than start-gap, which batch order would
+    have split into its own session) is observable, never silent.
+    t_start/t_end are emitted as epoch seconds (floor of the microsecond
+    state).
 
     At 10^12-event scale the state store shards by user exactly like the
     batch shuffle; no driver state, state size = one row per ACTIVE user."""
@@ -179,19 +186,26 @@ def stream_sessionize(
             return
         ts_list.sort()
         if state.exists:
-            idx, start, last, n = state.get
+            idx, start, last, n, late = state.get
         else:
-            idx, start, last, n = -1, 0, None, 0
-        touched: dict[int, tuple[int, int, int]] = {}
+            idx, start, last, n, late = -1, 0, None, 0, 0
+        touched: dict[int, tuple[int, int, int, int]] = {}
         for t in ts_list:
             if last is None or t - last > gap:
                 idx += 1
-                start, n = t, 1
+                start, n, late = t, 1, 0
             else:
+                if t < last:
+                    # out-of-order arrival (only possible against prior-
+                    # batch state — the batch slice itself is sorted):
+                    # count it, and fold it into the session start
+                    late += 1
+                    if t < start:
+                        start = t
                 n += 1
             last = max(last, t) if last is not None else t
-            touched[idx] = (start, last, n)
-        state.update((idx, start, int(last), n))
+            touched[idx] = (start, last, n, late)
+        state.update((idx, start, int(last), n, late))
         yield pd.DataFrame(
             [
                 {
@@ -199,18 +213,24 @@ def stream_sessionize(
                     "n_events": v[2],
                     "t_start": v[0] // 1_000_000,
                     "t_end": v[1] // 1_000_000,
+                    **({"n_late": v[3]} if emit_late_count else {}),
                 }
                 for i, v in sorted(touched.items())
             ]
         )
 
+    out_schema = (
+        "user_id long, session_idx long, n_events long,"
+        " t_start long, t_end long"
+    )
+    if emit_late_count:
+        out_schema += ", n_late long"
     return ev.groupBy("user_id").applyInPandasWithState(
         fn,
-        outputStructType=(
-            "user_id long, session_idx long, n_events long,"
-            " t_start long, t_end long"
+        outputStructType=out_schema,
+        stateStructType=(
+            "session_idx long, start long, last long, n long, late long"
         ),
-        stateStructType="session_idx long, start long, last long, n long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

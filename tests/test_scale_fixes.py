@@ -359,3 +359,41 @@ def test_duplicate_clusters_10k_chain_round_bound(spark):
     assert out.filter(F.col("keep_id") != "0").limit(1).count() == 0
     assert out.count() == n
     assert stats["rounds"] <= math.log2(n) + 2, stats
+
+
+def test_ws_tokenizer_invariant_to_whitespace_noise(spark):
+    """Round-5 ask: the \\s+ tokenizer makes shingles/signatures invariant
+    to whitespace reformatting (tabs, runs, surrounding blanks) — the
+    simple single-space rule is provably NOT (empty tokens shift every
+    shingle)."""
+    clean = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "lazy dog sleeps all day")],
+        "doc_id long, text string",
+    )
+    messy = spark.createDataFrame(
+        [(1, "\t the\tquick  brown\n fox \t jumps\n"),
+         (2, "lazy   dog\t\tsleeps\nall  day")],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, dedup.minhash_signature_rows(clean, k=3).collect()))
+    b = sorted(
+        map(
+            tuple,
+            dedup.minhash_signature_rows(messy, k=3, tokenizer="ws").collect(),
+        )
+    )
+    assert a == b and len(a) == 2 * 16
+    # simple mode over the messy text DIVERGES (the test is not vacuous)
+    c = sorted(map(tuple, dedup.minhash_signature_rows(messy, k=3).collect()))
+    assert c != a
+    # whitespace-only text: ws mode yields zero tokens, not [''].
+    from rdf2hk_spark.ops import textstats
+
+    blank = spark.createDataFrame(
+        [(1, " \t\n "), (2, "one two")], "doc_id long, text string"
+    )
+    got = {
+        r["id"]: r["n_ws_tokens"]
+        for r in textstats.token_stats(blank, tokenizer="ws").collect()
+    }
+    assert got == {1: 0, 2: 2}
