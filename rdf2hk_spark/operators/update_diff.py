@@ -93,6 +93,18 @@ _GPART = "gpart"
 # into this directory; the key needs isNull() handling, not string equality
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
+# A merge/upsert collects the delta's distinct partition keys to the driver
+# to plan a literal partition-pruned read — bounded by the graphs touched
+# per delta. Past this many touched graphs the collect (and the literal
+# IN-predicate it feeds) stops being metadata-scale: the merge switches to
+# the BIG-DELTA path — store read scoped by a SEMI-JOIN against the delta's
+# key frame (no driver key list on the data path), swap keys derived from
+# the staging directory listing, emptied partitions found by a distributed
+# anti-join. Driver work stays O(#touched partitions) METADATA (the
+# per-partition rename commit — the same scale Iceberg manifests pay),
+# never O(keys) through a query-result collect.
+COLLECT_KEYS_MAX = 10_000
+
 # Orphan-staging grace for the IN-BAND recover_store call at the start of
 # every merge/upsert/compact: a manifest-less staging dir younger than this
 # is spared (ADVICE r4: an accidental second writer — or an out-of-band
@@ -169,15 +181,19 @@ def merge_into_store(spark: SparkSession, path: str, delta: DataFrame) -> list[s
     # contract — losing ITS data silently would be worse than leaving a
     # stale dir for the next grace-expired sweep)
     recover_store(spark, path, orphan_grace_seconds=INBAND_ORPHAN_GRACE_SECONDS)
-    keys = [
-        r[_GPART] if r[_GPART] is not None else _HIVE_NULL
-        for r in delta.select(_gpart().alias(_GPART)).distinct().collect()
-    ]
-    if not keys:
-        return []
-    merged = apply_update(_read_partitions(spark, path, keys), delta)
-    _staged_swap(spark, path, keys, merged)
-    return keys
+    key_frame = delta.select(_gpart().alias(_GPART)).distinct()
+    keys = _collect_keys_bounded(key_frame)
+    if keys is not None:
+        if not keys:
+            return []
+        merged = apply_update(_read_partitions(spark, path, keys), delta)
+        _staged_swap(spark, path, keys, merged)
+        return keys
+    # big-delta path (> COLLECT_KEYS_MAX touched graphs)
+    merged = apply_update(
+        _read_partitions_semi(spark, path, key_frame), delta
+    )
+    return _staged_swap_frame(spark, path, key_frame, merged)
 
 
 def upsert_into_store(
@@ -194,20 +210,25 @@ def upsert_into_store(
     ``merge_into_store``."""
     recover_store(spark, path, orphan_grace_seconds=INBAND_ORPHAN_GRACE_SECONDS)
     q = quads.select("s", "p", "o", "g").distinct()
-    keys = [
-        r[_GPART] if r[_GPART] is not None else _HIVE_NULL
-        for r in q.select(_gpart().alias(_GPART)).distinct().collect()
-    ]
-    if not keys:
+    key_frame = q.select(_gpart().alias(_GPART)).distinct()
+    keys = _collect_keys_bounded(key_frame)
+    if keys is not None and not keys:
         return []
     # lazy store read is crash-safe here (the staging write consumes it
     # BEFORE the swap deletes/renames any store directory), but it feeds
     # BOTH the union leg and the exceptAll leg — persist so each touched
     # partition is scanned once per micro-batch, not twice
-    existing = _read_partitions(spark, path, keys).persist()
+    existing = (
+        _read_partitions(spark, path, keys)
+        if keys is not None
+        else _read_partitions_semi(spark, path, key_frame)
+    ).persist()
     try:
         merged = existing.unionByName(q.exceptAll(existing))
-        _staged_swap(spark, path, keys, merged)
+        if keys is not None:
+            _staged_swap(spark, path, keys, merged)
+        else:
+            keys = _staged_swap_frame(spark, path, key_frame, merged)
     finally:
         existing.unpersist()
     return keys
@@ -247,6 +268,39 @@ def _store_fs(spark: SparkSession, path: str):
     HPath = spark._jvm.org.apache.hadoop.fs.Path
     fs = HPath(path).getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
     return fs, HPath
+
+
+def _collect_keys_bounded(key_frame: DataFrame) -> list[str] | None:
+    """Collect the delta's distinct partition keys IF there are at most
+    ``COLLECT_KEYS_MAX`` of them — one job whose driver result is bounded
+    by the limit, never an unbounded collect. Returns None when the delta
+    exceeds the bound (callers switch to the big-delta semi-join path)."""
+    rows = key_frame.limit(COLLECT_KEYS_MAX + 1).collect()
+    if len(rows) > COLLECT_KEYS_MAX:
+        return None
+    return [
+        r[_GPART] if r[_GPART] is not None else _HIVE_NULL for r in rows
+    ]
+
+
+def _read_partitions_semi(
+    spark: SparkSession, path: str, key_frame: DataFrame
+) -> DataFrame:
+    """Big-delta read scoping: the whole store scan LEFT-SEMI-joined to the
+    delta's key frame (null-safe on the partition column, so the null-graph
+    partition participates). No literal IN-predicate, no driver key list —
+    file pruning is traded for a distributed hash semi-join, the right
+    trade once the delta touches most of the store's partitions anyway."""
+    fs, HPath = _store_fs(spark, path)
+    if not fs.exists(HPath(path)):
+        return spark.createDataFrame(
+            [], "s string, p string, o string, g string"
+        )
+    store = spark.read.schema(_STORE_SCHEMA).parquet(path)
+    kf = key_frame.select(F.col(_GPART).alias("_k"))
+    return store.join(
+        kf, F.col(_GPART).eqNullSafe(F.col("_k")), "left_semi"
+    ).select("s", "p", "o", "g")
 
 
 def _read_partitions(
@@ -373,6 +427,15 @@ def _staged_swap(
     ``recover_store`` (idempotent replay of the remaining renames). The
     swap itself never mutates a partition it has already completed, so
     replay converges to exactly the merged state."""
+    mid, staging, staged = _write_staging(spark, path, frame)
+    _commit_and_swap(spark, path, mid, staging, staged, keys)
+
+
+def _write_staging(
+    spark: SparkSession, path: str, frame: DataFrame
+) -> tuple[str, str, set[str]]:
+    """Write the merged frame gpart-partitioned into a fresh staging dir;
+    return (merge id, staging path, staged partition keys from listing)."""
     fs, HPath = _store_fs(spark, path)
     mid = uuid.uuid4().hex
     staging = f"{path}/.merge-staging-{mid}"
@@ -385,6 +448,20 @@ def _staged_swap(
         for st in fs.listStatus(HPath(staging))
         if st.getPath().getName().startswith(f"{_GPART}=")
     }
+    return mid, staging, staged
+
+
+def _commit_and_swap(
+    spark: SparkSession,
+    path: str,
+    mid: str,
+    staging: str,
+    staged: set[str],
+    keys: list[str],
+) -> None:
+    """Seal the manifest and replay-safely swap the listed partitions (see
+    ``_staged_swap``'s protocol docstring)."""
+    fs, HPath = _store_fs(spark, path)
     mdir = f"{path}/.merge-commit-{mid}"
     fs.mkdirs(HPath(mdir))
     for k in keys:
@@ -400,3 +477,30 @@ def _staged_swap(
             fs.rename(src, dst)
     fs.delete(HPath(staging), True)
     fs.delete(HPath(mdir), True)
+
+
+def _staged_swap_frame(
+    spark: SparkSession, path: str, key_frame: DataFrame, frame: DataFrame
+) -> list[str]:
+    """Big-delta variant of ``_staged_swap``: the touched-key set never
+    materializes as a driver list on the DATA path. Swap keys come from
+    the staging directory listing (metadata, post-write); partitions the
+    delta touched but fully EMPTIED (in ``key_frame`` yet absent from
+    staging) are found by a distributed anti-join — only those few land on
+    the driver, where they become ``empty_`` manifest markers exactly as
+    in the small path. Same manifest/commit/rename protocol, so
+    ``recover_store`` replays both paths identically."""
+    mid, staging, staged = _write_staging(spark, path, frame)
+    spark_keys = key_frame.select(
+        F.coalesce(F.col(_GPART), F.lit(_HIVE_NULL)).alias(_GPART)
+    )
+    staged_df = spark.createDataFrame(
+        [(k,) for k in sorted(staged)], f"{_GPART} string"
+    )
+    empties = [
+        r[_GPART]
+        for r in spark_keys.join(staged_df, _GPART, "left_anti").collect()
+    ]
+    keys = sorted(staged) + empties
+    _commit_and_swap(spark, path, mid, staging, staged, keys)
+    return keys

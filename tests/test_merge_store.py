@@ -351,3 +351,66 @@ def test_inband_merge_spares_fresh_orphan_staging(spark, store):
     os.utime(staging, (old, old))
     U.merge_into_store(spark, store, delta)
     assert not os.path.isdir(staging)
+
+
+def test_big_delta_semi_join_path_matches_small_path(spark, store, monkeypatch):
+    """Round-5 ask: past COLLECT_KEYS_MAX touched graphs the merge must not
+    collect the key list for the data path — it semi-joins the store read
+    against the delta's key frame and derives swap keys from the staging
+    listing. Forced low threshold; results must be identical to the
+    literal-pruned small path, including an EMPTIED partition (all-delete
+    delta for one graph) and a brand-new graph."""
+    monkeypatch.setattr(U, "COLLECT_KEYS_MAX", 10)
+    graphs = [f"<http://many/g{i}>" for i in range(40)]
+    base = spark.createDataFrame(
+        [(f"<http://s/{i}>", "<http://p>", f"<http://o/{i}>", g)
+         for i, g in enumerate(graphs)],
+        "s string, p string, o string, g string",
+    )
+    U.write_quad_store(base, store + "-big", mode="overwrite")
+    delta_rows = (
+        # update half the graphs
+        [("delete", f"<http://s/{i}>", "<http://p>", f"<http://o/{i}>",
+          graphs[i]) for i in range(0, 40, 2)]
+        + [("insert", f"<http://s/{i}>", "<http://p>", f"<http://o/{i}-v2>",
+            graphs[i]) for i in range(0, 40, 2)]
+        # EMPTY one graph entirely
+        + [("delete", "<http://s/1>", "<http://p>", "<http://o/1>",
+            graphs[1])]
+        # and create a brand-new graph
+        + [("insert", "<http://s/new>", "<http://p>", "<http://o/new>",
+            "<http://many/new>")]
+    )
+    delta = spark.createDataFrame(delta_rows, DELTA_SCHEMA)
+    keys = U.merge_into_store(spark, store + "-big", delta)
+    assert len(keys) == 22  # 20 updated + 1 emptied + 1 new
+    got = {
+        (r["s"], r["o"], r["g"])
+        for r in U.read_quad_store(spark, store + "-big").collect()
+    }
+    expect = set()
+    for i, g in enumerate(graphs):
+        if i == 1:
+            continue  # emptied
+        o = f"<http://o/{i}-v2>" if i % 2 == 0 else f"<http://o/{i}>"
+        expect.add((f"<http://s/{i}>", o, g))
+    expect.add(("<http://s/new>", "<http://o/new>", "<http://many/new>"))
+    assert got == expect
+    # the emptied graph's partition directory is gone
+    assert not os.path.isdir(
+        os.path.join(store + "-big", f"gpart={U.gpart_key(graphs[1])}")
+    )
+    # upsert over the same threshold also takes the big path and stays
+    # idempotent
+    up = spark.createDataFrame(
+        [(f"<http://s/{i}>", "<http://p>", f"<http://o/{i}-v2>", graphs[i])
+         for i in range(0, 40, 2)],
+        "s string, p string, o string, g string",
+    )
+    k1 = U.upsert_into_store(spark, store + "-big", up)
+    assert sorted(k1) == sorted({U.gpart_key(graphs[i]) for i in range(0, 40, 2)})
+    got2 = {
+        (r["s"], r["o"], r["g"])
+        for r in U.read_quad_store(spark, store + "-big").collect()
+    }
+    assert got2 == expect  # set-union idempotent, nothing duplicated
