@@ -953,6 +953,21 @@ def q_kg_sparql_path_agg(spark, sf_dir):
     )
 
 
+def q_kg_sparql_builtins(spark, sf_dir):
+    """FILTER builtins through the text surface: language-range matching on
+    the term's tag, CONTAINS over the STR form of an IRI, and a STRLEN
+    value expression projected — the common user-query function set."""
+    from rdf2hk_spark.plans.sparql import run_sparql
+
+    return run_sparql(
+        tpch_kg.quads_df(spark, sf_dir),
+        "SELECT ?s ?l (STRLEN(?l) AS ?len) WHERE {"
+        " ?s <http://www.w3.org/2000/01/rdf-schema#label> ?l ."
+        ' FILTER(LANGMATCHES(LANG(?l), "en")'
+        ' && CONTAINS(STR(?s), "nation")) }',
+    )
+
+
 def q_doc_chain_clusters(spark, sf_dir):
     """Adversarial duplicate_clusters shape: a 10k-node PATH graph
     (diameter 10k — the worst case for label propagation). Pointer jumping
@@ -1106,6 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_bind_agg": q_kg_sparql_bind_agg,
         "kg_sparql_nps": q_kg_sparql_nps,
         "kg_sparql_path_agg": q_kg_sparql_path_agg,
+        "kg_sparql_builtins": q_kg_sparql_builtins,
         "doc_chain_clusters": q_doc_chain_clusters,
         "kg_pagerank": q_kg_pagerank,
         "evt_windowed_counts": q_evt_windowed_counts,
@@ -1597,6 +1613,15 @@ def oracle_sql() -> dict[str, str]:
              AND t.p = '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>'
              AND t.o = '<urn:hk:class/Region>'
             GROUP BY r.dst
+        """,
+        "kg_sparql_builtins": f"""
+            WITH {_Q}
+            SELECT s, o AS l,
+                   length(regexp_extract(o, '^"(.*)"', 1))::BIGINT AS len
+            FROM quads
+            WHERE p = '<http://www.w3.org/2000/01/rdf-schema#label>'
+              AND regexp_matches(o, '@[Ee][Nn](-|$)')
+              AND contains(regexp_extract(s, '^<(.*)>$', 1), 'nation')
         """,
         "doc_chain_clusters": """
             SELECT i::VARCHAR AS id, '0' AS keep_id

@@ -52,10 +52,16 @@ algebra and compiles to a DataFrame plan:
   minus-compatibility (disjoint domains remove nothing, diverging from
   NOT EXISTS exactly as the spec demands);
 - ``BIND(expr AS ?v)`` and ``SELECT (expr AS ?v)`` expression projections:
-  arithmetic over decoded numerics, STR/STRLEN/UCASE/LCASE/CONCAT and
-  FLOOR/CEIL/ABS/ROUND — string results materialize as plain-literal term
-  strings, numeric results as native numeric columns visible to later
-  FILTERs/GROUP BYs.
+  arithmetic over decoded numerics, STR/STRLEN/UCASE/LCASE/CONCAT,
+  FLOOR/CEIL/ABS/ROUND, LANG/DATATYPE/COALESCE — string results
+  materialize as plain-literal term strings, numeric results as native
+  numeric columns visible to later FILTERs/GROUP BYs;
+- FILTER builtins: REGEX/BOUND plus STRSTARTS/STRENDS/CONTAINS/
+  LANGMATCHES (basic language ranges) and isIRI/isLiteral/isBlank (the P3
+  term-kind predicates surfaced to user SPARQL); comparison operands may
+  be value expressions (``STRLEN(?x) + 1 > 5``, ``LANG(?l) = "en"`` —
+  string-function sides compare in the string domain against the term
+  side's literal value).
 
 Subset contract: SELECT / ASK / DESCRIBE / CONSTRUCT queries over the forms
 above. Anything else (subqueries, [NOT] EXISTS nested inside a larger
@@ -631,6 +637,13 @@ class _Parser:
     _VALUE_FUNCS = (
         "STR", "STRLEN", "UCASE", "LCASE", "CONCAT",
         "FLOOR", "CEIL", "ABS", "ROUND",
+        "LANG", "DATATYPE", "COALESCE",
+    )
+    _MULTI_ARG_VALUE_FUNCS = ("CONCAT", "COALESCE")
+    # boolean builtins usable as a FILTER constraint or comparison operand
+    _BOOL_FUNCS = (
+        "STRSTARTS", "STRENDS", "CONTAINS", "LANGMATCHES",
+        "ISIRI", "ISURI", "ISLITERAL", "ISBLANK",
     )
 
     def value_expr(self) -> Expr:
@@ -689,7 +702,7 @@ class _Parser:
                 self.next()
                 args.append(self.value_expr())
             self.expect("punct", ")")
-            if fname != "CONCAT" and len(args) != 1:
+            if fname not in self._MULTI_ARG_VALUE_FUNCS and len(args) != 1:
                 raise SparqlSyntaxError(f"{fname} takes exactly one argument")
             return Expr(fname.lower(), args)
         return Expr("val", [self._operand()])
@@ -879,7 +892,24 @@ class _Parser:
             var = self.expect("var")[1:]
             self.expect("punct", ")")
             return Expr("bound", [var])
-        left = self._operand()
+        if k == "word" and v.upper() in self._BOOL_FUNCS:
+            fname = self.next()[1].upper()
+            if fname == "ISURI":
+                fname = "ISIRI"  # spec synonym
+            self.expect("punct", "(")
+            args = [self.value_expr()]
+            while self.peek() == ("punct", ","):
+                self.next()
+                args.append(self.value_expr())
+            self.expect("punct", ")")
+            want = 2 if fname in ("STRSTARTS", "STRENDS", "CONTAINS",
+                                  "LANGMATCHES") else 1
+            if len(args) != want:
+                raise SparqlSyntaxError(
+                    f"{fname} takes exactly {want} argument(s)"
+                )
+            return Expr(fname.lower(), args)
+        left = self._cmp_operand()
         k, op = self.peek()
         if k == "word" and op.upper() == "IN":
             self.next()
@@ -890,9 +920,18 @@ class _Parser:
             return Expr("not", [Expr("in", [left, self._operand_list()])])
         if k == "punct" and op in ("=", "!=", "<", "<=", ">", ">="):
             self.next()
-            right = self._operand()
+            right = self._cmp_operand()
             return Expr("cmp", [op, left, right])
         raise SparqlSyntaxError(f"cannot parse FILTER at {op!r}")
+
+    def _cmp_operand(self):
+        """A comparison side: a plain operand tuple (var/num/term — the
+        original fast path) or a VALUE expression when it starts with a
+        value function (``STRLEN(?x) + 1 > 5``, ``LANG(?l) = "en"``)."""
+        k, v = self.peek()
+        if k == "word" and v.upper() in self._VALUE_FUNCS:
+            return self.value_expr()
+        return self._operand()
 
 
 def parse_sparql(text: str) -> Query:
@@ -961,14 +1000,22 @@ def _compile_expr(
         return out
     if e.op == "cmp":
         op, lhs, rhs = e.args
-        lcol, lnum = _operand_col(lhs, frame_cols, numeric_cols)
-        rcol, rnum = _operand_col(rhs, frame_cols, numeric_cols)
-        if lnum or rnum:
-            # numeric comparison: decode typed-literal values
-            if not lnum:
+        lcol, lk = _cmp_side(lhs, frame_cols, numeric_cols, d)
+        rcol, rk = _cmp_side(rhs, frame_cols, numeric_cols, d)
+        if lk == "num" or rk == "num":
+            # numeric comparison: decode typed-literal / raw-string values
+            if lk != "num":
                 lcol = _numeric(lcol)
-            if not rnum:
+            if rk != "num":
                 rcol = _numeric(rcol)
+        elif lk == "str" or rk == "str":
+            # a string-function side compares in the STRING domain: the
+            # term side contributes its literal VALUE (LANG(?l) = "en"
+            # compares 'en' with 'en', not with '"en"')
+            if lk == "term":
+                lcol = _str_domain(lcol)
+            if rk == "term":
+                rcol = _str_domain(rcol)
         ops = {
             "=": lambda a, b: a == b,
             "!=": lambda a, b: a != b,
@@ -978,7 +1025,59 @@ def _compile_expr(
             ">=": lambda a, b: a >= b,
         }
         return ops[op](lcol, rcol)
+    if e.op in ("strstarts", "strends", "contains"):
+        a = _str_of(e.args[0], frame_cols, numeric_cols, d)
+        b = _str_of(e.args[1], frame_cols, numeric_cols, d)
+        return {
+            "strstarts": lambda: a.startswith(b),
+            "strends": lambda: a.endswith(b),
+            "contains": lambda: a.contains(b),
+        }[e.op]()
+    if e.op == "langmatches":
+        a = _str_of(e.args[0], frame_cols, numeric_cols, d)
+        b = _str_of(e.args[1], frame_cols, numeric_cols, d)
+        # basic language ranges (RFC 4647 §2.1): '*' matches any non-empty
+        # tag; otherwise case-insensitive exact tag or prefix-with-'-'
+        return F.when(b == "*", F.length(a) > 0).otherwise(
+            (F.upper(a) == F.upper(b))
+            | F.upper(a).startswith(F.concat(F.upper(b), F.lit("-")))
+        )
+    if e.op in ("isiri", "isliteral", "isblank"):
+        c, k = _compile_value(e.args[0], frame_cols, numeric_cols, d)
+        if k != "term":
+            # a computed string/number IS a literal value, never IRI/bnode
+            return F.lit(e.op == "isliteral") & c.isNotNull()
+        return {
+            "isiri": T.is_uri,
+            "isliteral": T.is_literal,
+            "isblank": T.is_blank_node,
+        }[e.op](c)
     raise SparqlSyntaxError(f"unknown expression {e.op}")
+
+
+def _str_domain(col: Column) -> Column:
+    """Term string → its STRING-domain value: a literal's lexical form,
+    anything else (raw computed strings pass literal_value through) as-is."""
+    return F.coalesce(T.literal_value(col), col)
+
+
+def _cmp_side(x, frame_cols: set[str], numeric_cols: set[str], d: int):
+    """A comparison side: an operand tuple (the original var/num/term fast
+    path) or a value Expr — both to (Column, kind)."""
+    if isinstance(x, Expr):
+        return _compile_value(x, frame_cols, numeric_cols, d)
+    col, isnum = _operand_col(x, frame_cols, numeric_cols)
+    return col, ("num" if isnum else "term")
+
+
+def _str_of(x, frame_cols: set[str], numeric_cols: set[str], d: int) -> Column:
+    """A boolean-builtin argument coerced to the string domain."""
+    c, k = _cmp_side(x, frame_cols, numeric_cols, d)
+    if k == "num":
+        return c.cast("string")
+    if k == "term":
+        return _str_domain(c)
+    return c
 
 
 _NUMERIC_DTYPES = ("tinyint", "smallint", "int", "bigint", "float", "double")
@@ -1076,7 +1175,39 @@ def _compile_value(
             for a in e.args
         ]
         return F.concat(*parts), "str"
+    if e.op == "lang":
+        c, k = _compile_value(e.args[0], frame_cols, numeric_cols, d)
+        if k != "term":
+            return F.lit(""), "str"  # computed values carry no language tag
+        return F.coalesce(T.literal_lang(c), F.lit("")), "str"
+    if e.op == "datatype":
+        c, k = _compile_value(e.args[0], frame_cols, numeric_cols, d)
+        if k != "term":
+            raise SparqlSyntaxError("DATATYPE needs an RDF term argument")
+        dt = T.literal_datatype(c)
+        return (
+            F.when(dt.isNotNull(), dt)
+            .when(T.literal_lang(c).isNotNull(), F.lit(_RDF_LANGSTRING))
+            .when(T.is_literal(c), F.lit(_XSD_STRING))
+            .otherwise(F.lit(None).cast("string")),  # IRI/bnode: type error
+            "term",
+        )
+    if e.op == "coalesce":
+        pairs = [
+            _compile_value(a, frame_cols, numeric_cols, d) for a in e.args
+        ]
+        kinds = {k for _, k in pairs}
+        if len(kinds) != 1:
+            raise SparqlSyntaxError(
+                "COALESCE arguments must share one domain"
+                " (all numeric, all string, or all terms)"
+            )
+        return F.coalesce(*[c for c, _ in pairs]), kinds.pop()
     raise SparqlSyntaxError(f"unknown value expression {e.op}")
+
+
+_XSD_STRING = "<http://www.w3.org/2001/XMLSchema#string>"
+_RDF_LANGSTRING = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#langString>"
 
 
 def _value_as_term_or_num(

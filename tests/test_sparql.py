@@ -1143,3 +1143,109 @@ class TestExistsMinusBind:
             chain, "SELECT ?x WHERE { <http://n/0> <http://p/next>+ ?x }"
         )
         assert out.count() == 12
+
+
+class TestFilterBuiltins:
+    """Round-5 extras: string/term builtins in FILTER — STRSTARTS/STRENDS/
+    CONTAINS/LANGMATCHES, LANG/DATATYPE/COALESCE value functions, term-kind
+    predicates, and value expressions as comparison operands."""
+
+    @pytest.fixture(scope="class")
+    def terms_quads(self, spark):
+        rows = [
+            (0, "<http://e/a>", "<http://p/knows>", "<http://e/b>", "<g>"),
+            (2, "<http://e/a>", "<http://p/name>", '"Alice"@en', "<g>"),
+            (3, "<http://e/b>", "<http://p/name>", '"Bob"@en-GB', "<g>"),
+            (4, "<http://e/c>", "<http://p/name>", '"Carol"', "<g>"),
+            (5, "<http://e/a>", "<http://p/age>",
+             '"42"^^<http://www.w3.org/2001/XMLSchema#integer>', "<g>"),
+            (6, "<http://e/x>", "<http://p/rel>", "_:b1", "<g>"),
+        ]
+        return spark.createDataFrame(rows, QUAD_SCHEMA).cache()
+
+    def test_lang_exact_and_ranges(self, terms_quads):
+        out = run_sparql(
+            terms_quads,
+            'SELECT ?x WHERE { ?x <http://p/name> ?n . FILTER(LANG(?n) = "en") }',
+        )
+        assert rows(out) == [("<http://e/a>",)]
+        out = run_sparql(
+            terms_quads,
+            "SELECT ?x WHERE { ?x <http://p/name> ?n ."
+            ' FILTER(LANGMATCHES(LANG(?n), "en")) }',
+        )
+        assert rows(out) == [("<http://e/a>",), ("<http://e/b>",)]
+        # plain literal: LANG is the empty string; '*' never matches it
+        out = run_sparql(
+            terms_quads,
+            "SELECT ?x WHERE { ?x <http://p/name> ?n ."
+            ' FILTER(LANGMATCHES(LANG(?n), "*")) }',
+        )
+        assert rows(out) == [("<http://e/a>",), ("<http://e/b>",)]
+
+    def test_str_predicates_and_arith_operand(self, terms_quads):
+        out = run_sparql(
+            terms_quads,
+            "SELECT ?x ?n WHERE { ?x <http://p/name> ?n ."
+            ' FILTER(CONTAINS(?n, "aro") || STRENDS(STR(?x), "/b")) }',
+        )
+        assert rows(out) == [
+            ("<http://e/b>", '"Bob"@en-GB'),
+            ("<http://e/c>", '"Carol"'),
+        ]
+        out = run_sparql(
+            terms_quads,
+            "SELECT ?x WHERE { ?x <http://p/name> ?n ."
+            " FILTER(STRLEN(?n) + 1 > 5) }",
+        )
+        assert rows(out) == [("<http://e/a>",), ("<http://e/c>",)]
+
+    def test_term_kind_predicates(self, terms_quads):
+        out = run_sparql(
+            terms_quads,
+            "SELECT ?s ?o WHERE { ?s ?p2 ?o . FILTER(ISBLANK(?o)) }",
+        )
+        assert rows(out) == [("<http://e/x>", "_:b1")]
+        out = run_sparql(
+            terms_quads,
+            "SELECT ?o WHERE { <http://e/a> ?p2 ?o . FILTER(ISLITERAL(?o)) }",
+        )
+        assert len(rows(out)) == 2  # name + age literals, not the knows IRI
+        out = run_sparql(
+            terms_quads,
+            "SELECT ?o WHERE { ?s2 <http://p/rel> ?o . FILTER(!ISIRI(?o)) }",
+        )
+        assert rows(out) == [("_:b1",)]
+
+    def test_datatype_projection_and_compare(self, terms_quads):
+        out = run_sparql(
+            terms_quads,
+            "SELECT ?s WHERE { ?s <http://p/age> ?a . FILTER(DATATYPE(?a) ="
+            " <http://www.w3.org/2001/XMLSchema#integer>) }",
+        )
+        assert rows(out) == [("<http://e/a>",)]
+        out = run_sparql(
+            terms_quads,
+            "SELECT ?x (DATATYPE(?n) AS ?dt) WHERE { ?x <http://p/name> ?n }",
+        )
+        got = dict(rows(out))
+        assert got["<http://e/c>"].endswith("XMLSchema#string>")
+        assert got["<http://e/a>"].endswith("#langString>")
+
+    def test_coalesce_with_optional(self, terms_quads):
+        out = run_sparql(
+            terms_quads,
+            "SELECT ?x (COALESCE(?a, ?n) AS ?v) WHERE {"
+            " ?x <http://p/name> ?n . OPTIONAL { ?x <http://p/age> ?a } }",
+        )
+        got = dict(rows(out))
+        assert got["<http://e/a>"].startswith('"42"')  # age wins when bound
+        assert got["<http://e/c>"] == '"Carol"'
+
+    def test_mixed_domain_coalesce_raises(self, terms_quads):
+        with pytest.raises(SparqlSyntaxError):
+            run_sparql(
+                terms_quads,
+                "SELECT ?x WHERE { ?x <http://p/name> ?n ."
+                " FILTER(COALESCE(STRLEN(?n), ?n) > 1) }",
+            )
