@@ -968,6 +968,20 @@ def q_kg_sparql_builtins(spark, sf_dir):
     )
 
 
+def q_kg_sparql_graph(spark, sf_dir):
+    """GRAPH ?g binding + aggregation: customers per market-segment graph
+    (the corpus stores inNation facts in per-segment named graphs) — the
+    graph column becomes an ordinary grouping variable; the null-graph
+    sentinel never binds."""
+    from rdf2hk_spark.plans.sparql import run_sparql
+
+    return run_sparql(
+        tpch_kg.quads_df(spark, sf_dir),
+        "SELECT ?g (COUNT(?c) AS ?n_cust) WHERE {"
+        " GRAPH ?g { ?c <urn:hk:p/inNation> ?nat } } GROUP BY ?g",
+    )
+
+
 def q_doc_chain_clusters(spark, sf_dir):
     """Adversarial duplicate_clusters shape: a 10k-node PATH graph
     (diameter 10k — the worst case for label propagation). Pointer jumping
@@ -1122,6 +1136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_nps": q_kg_sparql_nps,
         "kg_sparql_path_agg": q_kg_sparql_path_agg,
         "kg_sparql_builtins": q_kg_sparql_builtins,
+        "kg_sparql_graph": q_kg_sparql_graph,
         "doc_chain_clusters": q_doc_chain_clusters,
         "kg_pagerank": q_kg_pagerank,
         "evt_windowed_counts": q_evt_windowed_counts,
@@ -1613,6 +1628,13 @@ def oracle_sql() -> dict[str, str]:
              AND t.p = '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>'
              AND t.o = '<urn:hk:class/Region>'
             GROUP BY r.dst
+        """,
+        "kg_sparql_graph": f"""
+            WITH {_Q}
+            SELECT g, count(*)::BIGINT AS n_cust
+            FROM quads
+            WHERE p = '<urn:hk:p/inNation>' AND g <> '<hk://id/null>'
+            GROUP BY g
         """,
         "kg_sparql_builtins": f"""
             WITH {_Q}

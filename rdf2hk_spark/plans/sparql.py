@@ -15,7 +15,11 @@ algebra and compiles to a DataFrame plan:
   here by design;
 - VALUES → ``isin`` on a bound variable (or a literal frame for a new one);
 - FROM <g> → graph equality filter — partition pruning on graph-partitioned
-  storage (Q11, sparqlhelper.js:296-327);
+  storage (Q11, sparqlhelper.js:296-327); ``GRAPH <g> { ... }`` scopes the
+  inner group's scans the same way, and ``GRAPH ?g { ... }`` binds the
+  graph column as an ordinary join variable over NAMED graphs (the
+  null-graph sentinel never binds; property paths under a graph VARIABLE
+  raise — under a ground GRAPH they close over that graph only);
 - ``hide_hk=True`` applies the FILTER_HK predicate-hiding (P14) to every
   pattern scan — the ``setHKFiltered`` semantic (Q12) achieved in the plan
   instead of by string rewriting;
@@ -84,6 +88,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from rdf2hk_spark.constants import HK_NULL_URI as _HK_NULL_URI
 from rdf2hk_spark.functions import terms as T
 from rdf2hk_spark.plans.query import filter_hk
 
@@ -285,6 +290,18 @@ class Bind:
 
     expr: "Expr"
     var: str
+
+
+@dataclass
+class GraphScope:
+    """``GRAPH <g> { ... }`` / ``GRAPH ?g { ... }`` — scope the inner
+    group's pattern scans to one named graph (a ``g`` equality filter —
+    partition pruning on a gpart store) or bind the graph as a variable
+    (``g`` projected into the bindings; the engine's null-graph sentinel
+    is excluded, mirroring the spec's named-graphs-only iteration)."""
+
+    term: str  # '<iri>' or '?var'
+    group: "Group"
 
 
 @dataclass
@@ -569,6 +586,14 @@ class _Parser:
             elif k == "word" and v.upper() == "MINUS":
                 self.next()
                 g.items.append(Minus(self.group()))
+            elif k == "word" and v.upper() == "GRAPH":
+                self.next()
+                kk, vv = self.next()
+                if kk not in ("iri", "var"):
+                    raise SparqlSyntaxError(
+                        f"GRAPH needs an IRI or variable, got {vv!r}"
+                    )
+                g.items.append(GraphScope(vv, self.group()))
             elif k == "word" and v.upper() == "BIND":
                 self.next()
                 self.expect("punct", "(")
@@ -1223,10 +1248,18 @@ def _value_as_term_or_num(
     return c, k
 
 
-def _scan(quads: DataFrame, pat: Pattern) -> DataFrame:
+def _scan(
+    quads: DataFrame, pat: Pattern, graph_var: str | None = None
+) -> DataFrame:
     cols = {}
     filters: list[Column] = []
-    for pos, term in (("s", pat.s), ("p", pat.p), ("o", pat.o)):
+    positions = [("s", pat.s), ("p", pat.p), ("o", pat.o)]
+    if graph_var is not None:
+        # inside GRAPH ?v: every scan also binds the graph column — shared
+        # with other patterns' graph bindings (and any same-named pattern
+        # variable) through the ordinary join-on-shared-columns machinery
+        positions.append(("g", "?" + graph_var))
+    for pos, term in positions:
         if term.startswith("?"):
             var = term[1:]
             if var in cols:  # repeated var within one pattern
@@ -1666,7 +1699,7 @@ def _compile_group(quads: DataFrame, spark, group: Group) -> DataFrame | None:
 
 
 def _compile_group_mn(
-    quads: DataFrame, spark, group: Group
+    quads: DataFrame, spark, group: Group, graph_var: str | None = None
 ) -> tuple[DataFrame | None, set[str]]:
     """Compile a group to (bindings frame, maybe-null columns). The second
     element tracks which variables can be UNBOUND (null) in some solution —
@@ -1679,20 +1712,45 @@ def _compile_group_mn(
     deferred: list = []  # Filter | ExistsFilter — whole-group scope
     for item in group.items:
         if isinstance(item, Pattern):
-            if item.pexpr is not None:
-                frame = _join(frame, _scan_path_expr(quads, item))
-            elif item.path is None:
-                frame = _join(frame, _scan(quads, item))
+            if item.path is not None or item.pexpr is not None:
+                if graph_var is not None:
+                    raise SparqlSyntaxError(
+                        "property paths inside GRAPH ?var are not supported"
+                        " (use GRAPH <iri> or a plain pattern)"
+                    )
+                frame = _join(
+                    frame,
+                    _scan_path(quads, item)
+                    if item.pexpr is None
+                    else _scan_path_expr(quads, item),
+                )
             else:
-                frame = _join(frame, _scan_path(quads, item))
+                frame = _join(frame, _scan(quads, item, graph_var))
+        elif isinstance(item, GraphScope):
+            if item.term.startswith("?"):
+                # named graphs only: the engine's null-graph sentinel (and
+                # actual nulls) never bind a graph VARIABLE
+                scoped = quads.filter(
+                    F.col("g").isNotNull() & (F.col("g") != _HK_NULL_URI)
+                )
+                sub, sub_mn = _compile_group_mn(
+                    scoped, spark, item.group, graph_var=item.term[1:]
+                )
+            else:
+                sub, sub_mn = _compile_group_mn(
+                    quads.filter(F.col("g") == item.term), spark, item.group
+                )
+            if sub is not None:
+                frame = _join(frame, sub)
+                maybe_null |= sub_mn
         elif isinstance(item, Group):
-            sub, sub_mn = _compile_group_mn(quads, spark, item)
+            sub, sub_mn = _compile_group_mn(quads, spark, item, graph_var)
             if sub is not None:
                 frame = _join(frame, sub)
                 maybe_null |= sub_mn
         elif isinstance(item, Union):
-            l, l_mn = _compile_group_mn(quads, spark, item.left)
-            r, r_mn = _compile_group_mn(quads, spark, item.right)
+            l, l_mn = _compile_group_mn(quads, spark, item.left, graph_var)
+            r, r_mn = _compile_group_mn(quads, spark, item.right, graph_var)
             if l is None or r is None:
                 raise SparqlSyntaxError("empty UNION branch")
             u = l.unionByName(r, allowMissingColumns=True)
@@ -1701,7 +1759,7 @@ def _compile_group_mn(
             maybe_null |= l_mn | r_mn
             maybe_null |= set(l.columns) ^ set(r.columns)
         elif isinstance(item, Optional_):
-            sub, sub_mn = _compile_group_mn(quads, spark, item.group)
+            sub, sub_mn = _compile_group_mn(quads, spark, item.group, graph_var)
             if sub is not None:
                 new_cols = set(sub.columns) - set(
                     frame.columns if frame is not None else []
@@ -1709,7 +1767,7 @@ def _compile_group_mn(
                 frame = _join(frame, sub, how="left")
                 maybe_null |= sub_mn | new_cols
         elif isinstance(item, Minus):
-            sub, _sub_mn = _compile_group_mn(quads, spark, item.group)
+            sub, _sub_mn = _compile_group_mn(quads, spark, item.group, graph_var)
             if sub is None:
                 raise SparqlSyntaxError("empty MINUS group")
             if frame is None:
@@ -1746,7 +1804,7 @@ def _compile_group_mn(
         if frame is None:
             raise SparqlSyntaxError("FILTER in an empty group")
         if isinstance(flt, ExistsFilter):
-            sub, sub_mn = _compile_group_mn(quads, spark, flt.group)
+            sub, sub_mn = _compile_group_mn(quads, spark, flt.group, graph_var)
             if sub is None:
                 raise SparqlSyntaxError("empty EXISTS group")
             frame = _exists_join(frame, sub, flt.positive, maybe_null | sub_mn)

@@ -1249,3 +1249,57 @@ class TestFilterBuiltins:
                 "SELECT ?x WHERE { ?x <http://p/name> ?n ."
                 " FILTER(COALESCE(STRLEN(?n), ?n) > 1) }",
             )
+
+
+class TestGraphScope:
+    """Round-5 extras: GRAPH <iri> scoping and GRAPH ?var binding."""
+
+    @pytest.fixture(scope="class")
+    def gquads(self, spark):
+        rows = [
+            (0, "<a>", "<p>", "<b>", "<http://g/1>"),
+            (1, "<c>", "<p>", "<d>", "<http://g/2>"),
+            (2, "<e>", "<p>", "<f>", C.HK_NULL_URI),
+            (3, "<a>", "<q>", "<z>", "<http://g/1>"),
+        ]
+        return spark.createDataFrame(rows, QUAD_SCHEMA).cache()
+
+    def test_graph_iri_scopes_patterns(self, gquads):
+        out = run_sparql(
+            gquads, "SELECT ?s WHERE { GRAPH <http://g/1> { ?s <p> ?o } }"
+        )
+        assert rows(out) == [("<a>",)]
+
+    def test_graph_var_binds_named_graphs_only(self, gquads):
+        out = run_sparql(
+            gquads, "SELECT ?g ?s WHERE { GRAPH ?g { ?s <p> ?o } }"
+        )
+        # the null-graph sentinel quad (<e>) never binds a graph variable
+        assert rows(out) == [
+            ("<http://g/1>", "<a>"),
+            ("<http://g/2>", "<c>"),
+        ]
+
+    def test_graph_var_shared_across_patterns(self, gquads):
+        # both patterns must hold in the SAME graph
+        out = run_sparql(
+            gquads, "SELECT ?g WHERE { GRAPH ?g { ?s <p> ?o . ?s <q> ?z } }"
+        )
+        assert rows(out) == [("<http://g/1>",)]
+
+    def test_path_inside_graph_var_raises(self, gquads):
+        with pytest.raises(SparqlSyntaxError, match="GRAPH"):
+            run_sparql(gquads, "SELECT ?g WHERE { GRAPH ?g { ?s <p>+ ?o } }")
+
+    def test_path_inside_graph_iri_scopes_closure(self, gquads, spark):
+        chain = spark.createDataFrame(
+            [(0, "<n1>", "<p>", "<n2>", "<http://g/1>"),
+             (1, "<n2>", "<p>", "<n3>", "<http://g/2>")],
+            QUAD_SCHEMA,
+        )
+        out = run_sparql(
+            chain,
+            "SELECT ?x WHERE { GRAPH <http://g/1> { <n1> <p>+ ?x } }",
+        )
+        # closure runs over graph 1 only: n3 (via graph 2) is unreachable
+        assert rows(out) == [("<n2>",)]
