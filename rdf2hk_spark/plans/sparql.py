@@ -332,6 +332,7 @@ class Query:
     where: Group | None
     order_by: list[tuple[str, bool]]  # (var, ascending)
     limit: int | None
+    offset: int = 0
     form: str = "select"  # select | ask | describe | construct
     describe_terms: list[str] = field(default_factory=list)  # ?var or <iri>
     template: list["Pattern"] = field(default_factory=list)  # construct
@@ -452,19 +453,33 @@ class _Parser:
                 else:
                     break
         limit = None
-        if self.kw("LIMIT"):
-            raw = self.expect("num")
-            if not raw.isdigit():
-                raise SparqlSyntaxError(
-                    f"LIMIT must be a non-negative integer, got {raw!r}"
-                )
-            limit = int(raw)
+        offset = 0
+        # LIMIT/OFFSET in either order, each at most once (SPARQL grammar)
+        seen = set()
+        while True:
+            if "limit" not in seen and self.kw("LIMIT"):
+                seen.add("limit")
+                limit = self._nonneg_int("LIMIT")
+            elif "offset" not in seen and self.kw("OFFSET"):
+                seen.add("offset")
+                offset = self._nonneg_int("OFFSET")
+            else:
+                break
         if self.peek()[0] != "eof":
             raise SparqlSyntaxError(f"trailing tokens at {self.peek()[1]!r}")
         return Query(
             variables, distinct, from_graphs, where, order, limit,
             select_items=select_items, group_by=group_by, having=having,
+            offset=offset,
         )
+
+    def _nonneg_int(self, kw: str) -> int:
+        raw = self.expect("num")
+        if not raw.isdigit():
+            raise SparqlSyntaxError(
+                f"{kw} must be a non-negative integer, got {raw!r}"
+            )
+        return int(raw)
 
     _AGG_FUNCS = (
         "COUNT", "SUM", "MIN", "MAX", "AVG", "GROUP_CONCAT", "SAMPLE"
@@ -2126,6 +2141,10 @@ def run_sparql(quads: DataFrame, text: str, hide_hk: bool = False) -> DataFrame:
         out = out.orderBy(
             *[F.col(v).asc() if asc else F.col(v).desc() for v, asc in q.order_by]
         )
+    if q.offset:
+        # OFFSET without ORDER BY is legal but row-order-dependent, exactly
+        # as in SPARQL; Spark's offset composes with limit below
+        out = out.offset(q.offset)
     if q.limit is not None:
         out = out.limit(q.limit)
     return out

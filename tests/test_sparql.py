@@ -1303,3 +1303,20 @@ class TestGraphScope:
         )
         # closure runs over graph 1 only: n3 (via graph 2) is unreachable
         assert rows(out) == [("<n2>",)]
+
+
+class TestOffset:
+    def test_limit_offset_slice(self, spark):
+        rows = [(i, f"<n{i:02d}>", "<p>", f"<o{i}>", "<g>")
+                for i in range(10)]
+        q = spark.createDataFrame(rows, QUAD_SCHEMA)
+        out = run_sparql(
+            q, "SELECT ?s WHERE { ?s <p> ?o } ORDER BY ?s LIMIT 3 OFFSET 4"
+        )
+        assert [r["s"] for r in out.collect()] == ["<n04>", "<n05>", "<n06>"]
+        out = run_sparql(
+            q, "SELECT ?s WHERE { ?s <p> ?o } ORDER BY ?s OFFSET 8"
+        )
+        assert [r["s"] for r in out.collect()] == ["<n08>", "<n09>"]
+        with pytest.raises(SparqlSyntaxError):
+            run_sparql(q, "SELECT ?s WHERE { ?s <p> ?o } OFFSET -1")
