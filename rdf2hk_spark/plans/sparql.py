@@ -259,6 +259,16 @@ class Values:
 
 
 @dataclass
+class MultiValues:
+    """``VALUES (?x ?y) { (<a> <b>) (UNDEF <c>) }`` — an inline data block.
+    ``rows`` holds term strings with None for UNDEF (unbound: compatible
+    with any binding of that variable)."""
+
+    vars: list[str]
+    rows: list[list["str | None"]]
+
+
+@dataclass
 class Optional_:
     group: "Group"
 
@@ -619,13 +629,16 @@ class _Parser:
                 g.items.append(Bind(e, var))
             elif k == "word" and v.upper() == "VALUES":
                 self.next()
-                var = self.expect("var")[1:]
-                self.expect("punct", "{")
-                terms = []
-                while self.peek() != ("punct", "}"):
-                    terms.append(self._term_token())
-                self.next()
-                g.items.append(Values(var, terms))
+                if self.peek() == ("punct", "("):
+                    g.items.append(self._multi_values())
+                else:
+                    var = self.expect("var")[1:]
+                    self.expect("punct", "{")
+                    terms = []
+                    while self.peek() != ("punct", "}"):
+                        terms.append(self._term_token())
+                    self.next()
+                    g.items.append(Values(var, terms))
             elif k == "word" and v.upper() == "OPTIONAL":
                 self.next()
                 g.items.append(Optional_(self.group()))
@@ -644,6 +657,38 @@ class _Parser:
             if self.peek() == ("punct", "."):
                 self.next()
         raise AssertionError
+
+    def _multi_values(self) -> "MultiValues":
+        """'(' ?var+ ')' '{' ('(' (term|UNDEF)* ')')* '}'."""
+        self.expect("punct", "(")
+        vars_: list[str] = []
+        while self.peek()[0] == "var":
+            vars_.append(self.next()[1][1:])
+        self.expect("punct", ")")
+        if not vars_:
+            raise SparqlSyntaxError("VALUES needs at least one variable")
+        if len(set(vars_)) != len(vars_):
+            raise SparqlSyntaxError("duplicate variable in VALUES clause")
+        self.expect("punct", "{")
+        rows: list[list[str | None]] = []
+        while self.peek() != ("punct", "}"):
+            self.expect("punct", "(")
+            row: list[str | None] = []
+            while self.peek() != ("punct", ")"):
+                k, v = self.peek()
+                if k == "word" and v.upper() == "UNDEF":
+                    self.next()
+                    row.append(None)
+                else:
+                    row.append(self._term_token())
+            self.next()
+            if len(row) != len(vars_):
+                raise SparqlSyntaxError(
+                    f"VALUES row width {len(row)} != {len(vars_)} variables"
+                )
+            rows.append(row)
+        self.next()
+        return MultiValues(vars_, rows)
 
     def _filter_constraint(self):
         """The constraint after FILTER: ``EXISTS {..}`` / ``NOT EXISTS {..}``
@@ -1810,6 +1855,53 @@ def _compile_group_mn(
                     [(t,) for t in item.terms], f"{item.var} string"
                 )
                 frame = _join(frame, vf)
+        elif isinstance(item, MultiValues):
+            schema = ", ".join(f"{v} string" for v in item.vars)
+            vf = spark.createDataFrame(
+                [tuple(r) for r in item.rows], schema
+            )
+            undef_cols = {
+                item.vars[i]
+                for r in item.rows
+                for i in range(len(item.vars))
+                if r[i] is None
+            }
+            if frame is None:
+                frame = vf
+                maybe_null |= undef_cols
+                continue
+            shared = [c for c in frame.columns if c in vf.columns]
+            new_cols = [c for c in vf.columns if c not in shared]
+            if not shared:
+                frame = frame.crossJoin(vf)
+                maybe_null |= undef_cols
+            elif not (undef_cols & set(shared)) and not (
+                maybe_null & set(shared)
+            ):
+                frame = frame.join(vf, shared, "inner")
+                maybe_null |= undef_cols & set(new_cols)
+            else:
+                # UNDEF (or an OPTIONAL-null binding) on a shared variable:
+                # SPARQL join compatibility — unbound on either side
+                # matches anything; the merged binding keeps the bound one
+                keep = list(frame.columns)
+                rv = vf.select(
+                    *[F.col(c).alias(f"_v_{c}") for c in vf.columns]
+                )
+                cond = F.lit(True)
+                for c in shared:
+                    lc, rc = F.col(c), F.col(f"_v_{c}")
+                    cond = cond & (lc.isNull() | rc.isNull() | (lc == rc))
+                frame = frame.join(rv, cond, "inner").select(
+                    *[
+                        F.coalesce(F.col(c), F.col(f"_v_{c}")).alias(c)
+                        if c in shared
+                        else F.col(c)
+                        for c in keep
+                    ],
+                    *[F.col(f"_v_{c}").alias(c) for c in new_cols],
+                )
+                maybe_null |= undef_cols
         elif isinstance(item, (Filter, ExistsFilter)):
             deferred.append(item)
         else:  # pragma: no cover

@@ -1320,3 +1320,50 @@ class TestOffset:
         assert [r["s"] for r in out.collect()] == ["<n08>", "<n09>"]
         with pytest.raises(SparqlSyntaxError):
             run_sparql(q, "SELECT ?s WHERE { ?s <p> ?o } OFFSET -1")
+
+
+class TestMultiValues:
+    def test_multi_var_values_constrains(self, spark):
+        q = spark.createDataFrame(
+            [(0, "<a>", "<p>", "<b>", "<g>"), (1, "<c>", "<p>", "<d>", "<g>"),
+             (2, "<e>", "<p>", "<f>", "<g>")], QUAD_SCHEMA,
+        )
+        out = run_sparql(
+            q,
+            "SELECT ?s ?o WHERE { ?s <p> ?o ."
+            " VALUES (?s ?o) { (<a> <b>) (<c> <zzz>) } }",
+        )
+        assert rows(out) == [("<a>", "<b>")]
+
+    def test_undef_matches_anything(self, spark):
+        q = spark.createDataFrame(
+            [(0, "<a>", "<p>", "<b>", "<g>"), (1, "<c>", "<p>", "<d>", "<g>"),
+             (2, "<e>", "<p>", "<f>", "<g>")], QUAD_SCHEMA,
+        )
+        out = run_sparql(
+            q,
+            "SELECT ?s ?o WHERE { ?s <p> ?o ."
+            " VALUES (?s ?o) { (<a> UNDEF) (UNDEF <f>) } }",
+        )
+        assert rows(out) == [("<a>", "<b>"), ("<e>", "<f>")]
+        # fresh variable rides along; UNDEF row matches every solution
+        out = run_sparql(
+            q,
+            "SELECT ?s ?tag WHERE { ?s <p> ?o ."
+            ' VALUES (?s ?tag) { (<a> "t1") (UNDEF "any") } }',
+        )
+        assert rows(out) == [
+            ("<a>", '"any"'), ("<a>", '"t1"'),
+            ("<c>", '"any"'), ("<e>", '"any"'),
+        ]
+
+    def test_row_width_mismatch_raises(self, spark):
+        q = spark.createDataFrame(
+            [(0, "<a>", "<p>", "<b>", "<g>")], QUAD_SCHEMA
+        )
+        with pytest.raises(SparqlSyntaxError, match="width"):
+            run_sparql(
+                q,
+                "SELECT ?s WHERE { ?s <p> ?o ."
+                " VALUES (?s ?o) { (<a>) } }",
+            )
