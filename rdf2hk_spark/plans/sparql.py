@@ -253,12 +253,6 @@ class Filter:
 
 
 @dataclass
-class Values:
-    var: str
-    terms: list[str]
-
-
-@dataclass
 class MultiValues:
     """``VALUES (?x ?y) { (<a> <b>) (UNDEF <c>) }`` — an inline data block.
     ``rows`` holds term strings with None for UNDEF (unbound: compatible
@@ -632,13 +626,17 @@ class _Parser:
                 if self.peek() == ("punct", "("):
                     g.items.append(self._multi_values())
                 else:
+                    # single-var form: same algebra as the multi-var block
+                    # (inline frame + compatibility join) — gets bag
+                    # semantics for repeated terms and correct handling of
+                    # a maybe-unbound shared variable for free
                     var = self.expect("var")[1:]
                     self.expect("punct", "{")
                     terms = []
                     while self.peek() != ("punct", "}"):
                         terms.append(self._term_token())
                     self.next()
-                    g.items.append(Values(var, terms))
+                    g.items.append(MultiValues([var], [[t] for t in terms]))
             elif k == "word" and v.upper() == "OPTIONAL":
                 self.next()
                 g.items.append(Optional_(self.group()))
@@ -1847,14 +1845,6 @@ def _compile_group_mn(
             frame = frame.withColumn(item.var, col)
             # expression errors surface as null ⇒ the var may be unbound
             maybe_null.add(item.var)
-        elif isinstance(item, Values):
-            if frame is not None and item.var in frame.columns:
-                frame = frame.filter(F.col(item.var).isin(item.terms))
-            else:
-                vf = spark.createDataFrame(
-                    [(t,) for t in item.terms], f"{item.var} string"
-                )
-                frame = _join(frame, vf)
         elif isinstance(item, MultiValues):
             schema = ", ".join(f"{v} string" for v in item.vars)
             vf = spark.createDataFrame(
