@@ -1103,7 +1103,8 @@ class TestExistsMinusBind:
         assert ('"Alice"@en', "<http://e/a>") in got
         assert ("<http://e/a>", "<http://e/b>") not in got  # forward knows
         assert ("<http://e/b>", "<http://e/a>") not in got  # reversed knows
-        assert len(got) == 4  # reversed name ×2 + reversed age ×2
+        # reversed name ×2 + reversed age ×2 + reversed isa ×1 (G1+G2 corpus)
+        assert len(got) == 5
 
     def test_nps_mixed_members(self, quads):
         # forward steps not in {name, age} ∪ reversed steps not in {knows}
@@ -1115,10 +1116,11 @@ class TestExistsMinusBind:
         got = rows(out)
         # forward knows survives the forward branch
         assert ("<http://e/a>", "<http://e/b>") in got
-        # reversed knows is excluded; reversed name/age included
-        assert ("<http://e/b>", "<http://e/a>") in got or True
+        # reversed knows is excluded; reversed name/age/isa included
+        assert ("<http://e/b>", "<http://e/a>") not in got
         assert ('"Alice"@en', "<http://e/a>") in got
-        assert len(got) == 3 + 4  # 3 forward knows + 4 reversed literals
+        # forward: knows ×3 + isa ×1; reversed: name ×2 + age ×2 + isa ×1
+        assert len(got) == 4 + 5
 
     def test_path_depth_error_is_typed(self, spark):
         from rdf2hk_spark.plans import sparql as S
