@@ -982,6 +982,41 @@ def q_kg_sparql_graph(spark, sf_dir):
     )
 
 
+def q_kg_sparql_subquery(spark, sf_dir):
+    """Nested ``{ SELECT ... }`` subquery (§18.2.4): per-region nation
+    counts computed by an aggregate subquery, joined on its PROJECTED ?r
+    against the outer label/type patterns — inner GROUP BY runs before
+    the join, non-projected inner variables stay invisible outside."""
+    from rdf2hk_spark.plans.sparql import run_sparql
+
+    return run_sparql(
+        tpch_kg.quads_df(spark, sf_dir),
+        "SELECT ?r ?l ?cnt WHERE {"
+        " ?r <http://www.w3.org/2000/01/rdf-schema#label> ?l ."
+        " ?r <http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+        " <urn:hk:class/Region> ."
+        " { SELECT ?r (COUNT(?n) AS ?cnt)"
+        "   WHERE { ?n <urn:hk:p/inRegion> ?r } GROUP BY ?r } }",
+    )
+
+
+def q_kg_sparql_strfns(spark, sf_dir):
+    """String/conditional value builtins: SUBSTR, STRAFTER, regex REPLACE
+    (every match), and IF over a STRLEN comparison — projected as
+    plain-literal terms over the @en nation labels."""
+    from rdf2hk_spark.plans.sparql import run_sparql
+
+    return run_sparql(
+        tpch_kg.quads_df(spark, sf_dir),
+        "SELECT ?s (SUBSTR(STR(?l), 1, 3) AS ?pre)"
+        ' (STRAFTER(STR(?l), "A") AS ?aftera)'
+        ' (REPLACE(STR(?l), "[AEIOU]", "_") AS ?masked)'
+        ' (IF(STRLEN(?l) > 7, "long", "short") AS ?size)'
+        " WHERE { ?s <http://www.w3.org/2000/01/rdf-schema#label> ?l ."
+        ' FILTER(LANGMATCHES(LANG(?l), "en")) }',
+    )
+
+
 def q_doc_chain_clusters(spark, sf_dir):
     """Adversarial duplicate_clusters shape: a 10k-node PATH graph
     (diameter 10k — the worst case for label propagation). Pointer jumping
@@ -1137,6 +1172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_path_agg": q_kg_sparql_path_agg,
         "kg_sparql_builtins": q_kg_sparql_builtins,
         "kg_sparql_graph": q_kg_sparql_graph,
+        "kg_sparql_subquery": q_kg_sparql_subquery,
+        "kg_sparql_strfns": q_kg_sparql_strfns,
         "doc_chain_clusters": q_doc_chain_clusters,
         "kg_pagerank": q_kg_pagerank,
         "evt_windowed_counts": q_evt_windowed_counts,
@@ -1644,6 +1681,39 @@ def oracle_sql() -> dict[str, str]:
             WHERE p = '<http://www.w3.org/2000/01/rdf-schema#label>'
               AND regexp_matches(o, '@[Ee][Nn](-|$)')
               AND contains(regexp_extract(s, '^<(.*)>$', 1), 'nation')
+        """,
+        "kg_sparql_subquery": f"""
+            WITH {_Q},
+            cnt AS (
+              SELECT o AS r, count(*)::BIGINT AS cnt FROM quads
+              WHERE p = '<urn:hk:p/inRegion>' GROUP BY o
+            )
+            SELECT l.s AS r, l.o AS l, c.cnt
+            FROM quads l
+            JOIN quads t ON t.s = l.s
+             AND t.p = '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>'
+             AND t.o = '<urn:hk:class/Region>'
+            JOIN cnt c ON c.r = l.s
+            WHERE l.p = '<http://www.w3.org/2000/01/rdf-schema#label>'
+        """,
+        "kg_sparql_strfns": f"""
+            WITH {_Q},
+            base AS (
+              SELECT s, regexp_extract(o, '^"(.*)"', 1) AS lab
+              FROM quads
+              WHERE p = '<http://www.w3.org/2000/01/rdf-schema#label>'
+                AND regexp_matches(o, '@[Ee][Nn](-|$)')
+            )
+            SELECT s,
+                   '"' || substr(lab, 1, 3) || '"' AS pre,
+                   '"' || CASE WHEN strpos(lab, 'A') > 0
+                          THEN substr(lab, strpos(lab, 'A') + 1)
+                          ELSE '' END || '"' AS aftera,
+                   '"' || regexp_replace(lab, '[AEIOU]', '_', 'g')
+                       || '"' AS masked,
+                   '"' || CASE WHEN length(lab) > 7
+                          THEN 'long' ELSE 'short' END || '"' AS size
+            FROM base
         """,
         "doc_chain_clusters": """
             SELECT i::VARCHAR AS id, '0' AS keep_id

@@ -27,7 +27,7 @@ def token_stats(
     text_col: str = "text",
     tokenizer: str = "simple",
 ) -> DataFrame:
-    """(id, n_chars, n_ws_tokens, n_re_tokens): whitespace tokens + a
+    r"""(id, n_chars, n_ws_tokens, n_re_tokens): whitespace tokens + a
     BPE-ish lexer count (letter runs / digit runs / single other chars).
     ``tokenizer="ws"`` counts whitespace-RUN tokens (trim + \s+ split,
     whitespace-only text counts 0) — the production rule for corpora with

@@ -20,7 +20,7 @@ def tokens_frame(
     alias: str = "toks",
     mode: str = "simple",
 ) -> DataFrame:
-    """(id, <alias>): lower-cased tokens as a staged column.
+    r"""(id, <alias>): lower-cased tokens as a staged column.
 
     ``mode="simple"`` (default) splits on single spaces — the engine's
     original rule, byte-cheap and exactly mirrored by the DuckDB oracles'

@@ -57,9 +57,15 @@ algebra and compiles to a DataFrame plan:
   NOT EXISTS exactly as the spec demands);
 - ``BIND(expr AS ?v)`` and ``SELECT (expr AS ?v)`` expression projections:
   arithmetic over decoded numerics, STR/STRLEN/UCASE/LCASE/CONCAT,
-  FLOOR/CEIL/ABS/ROUND, LANG/DATATYPE/COALESCE — string results
-  materialize as plain-literal term strings, numeric results as native
-  numeric columns visible to later FILTERs/GROUP BYs;
+  FLOOR/CEIL/ABS/ROUND, LANG/DATATYPE/COALESCE, IF(bool, a, b),
+  STRBEFORE/STRAFTER (empty-needle spec edge cases included), SUBSTR,
+  REPLACE (regex, every match) — string results materialize as
+  plain-literal term strings, numeric results as native numeric columns
+  visible to later FILTERs/GROUP BYs;
+- subqueries ``{ SELECT ... }`` (§18.2.4): the inner query — aggregates,
+  DISTINCT, ORDER BY + LIMIT and all — evaluates against the same dataset
+  and joins the outer group on its PROJECTED variables only (compatibility
+  join when a shared variable can be unbound on either side);
 - FILTER builtins: REGEX/BOUND plus STRSTARTS/STRENDS/CONTAINS/
   LANGMATCHES (basic language ranges) and isIRI/isLiteral/isBlank (the P3
   term-kind predicates surfaced to user SPARQL); comparison operands may
@@ -68,9 +74,9 @@ algebra and compiles to a DataFrame plan:
   side's literal value).
 
 Subset contract: SELECT / ASK / DESCRIBE / CONSTRUCT queries over the forms
-above. Anything else (subqueries, [NOT] EXISTS nested inside a larger
-boolean expression) raises ``SparqlSyntaxError`` — never a silently wrong
-answer.
+above. Anything else ([NOT] EXISTS nested inside a larger boolean
+expression, a subquery as a UNION operand or under GRAPH ?var) raises
+``SparqlSyntaxError`` — never a silently wrong answer.
 DESCRIBE-style fetches also exist as ``plans.query.from_uris``; programmatic
 assembly (Q10) is the DataFrame/filter-dict API plus this text entry.
 
@@ -315,6 +321,17 @@ class Union:
 
 
 @dataclass
+class SubSelect:
+    """``{ SELECT ... }`` nested inside a group (SPARQL 1.1 §18.2.4
+    ToMultiSet): the inner query evaluates against the same dataset and
+    contributes ONLY its projected columns, joined with the rest of the
+    group on shared variables. Aggregates / DISTINCT / ORDER+LIMIT inside
+    the subquery all apply before the join."""
+
+    query: "Query"
+
+
+@dataclass
 class Group:
     items: list = field(default_factory=list)
 
@@ -366,6 +383,10 @@ class _Parser:
     def peek(self) -> tuple[str, str]:
         return self.toks[self.i] if self.i < len(self.toks) else ("eof", "")
 
+    def _peek2(self) -> tuple[str, str]:
+        j = self.i + 1
+        return self.toks[j] if j < len(self.toks) else ("eof", "")
+
     def next(self) -> tuple[str, str]:
         t = self.peek()
         self.i += 1
@@ -408,6 +429,14 @@ class _Parser:
                 "only SELECT/ASK/DESCRIBE/CONSTRUCT queries are supported"
                 f" (got {v!r})"
             )
+        return self._select(sub=False)
+
+    def _select(self, sub: bool) -> Query:
+        """The SELECT body (the SELECT keyword is already consumed). With
+        ``sub=True`` this parses a SubSelect: no FROM dataset clause (the
+        grammar forbids it — the subquery shares the outer dataset), WHERE
+        keyword optional, and the caller consumes the closing brace instead
+        of this method requiring EOF."""
         distinct = self.kw("DISTINCT")
         variables: list[str] = []
         select_items: list[tuple] = []
@@ -426,9 +455,12 @@ class _Parser:
             if not select_items:
                 raise SparqlSyntaxError("SELECT needs variables or *")
         from_graphs: list[str] = []
-        while self.kw("FROM"):
-            from_graphs.append(self.expect("iri"))
-        self.expect("word", "WHERE")
+        if not sub:
+            while self.kw("FROM"):
+                from_graphs.append(self.expect("iri"))
+            self.expect("word", "WHERE")
+        else:
+            self.kw("WHERE")  # optional in a SubSelect per the grammar
         where = self.group()
         group_by: list[str] = []
         if self.kw("GROUP"):
@@ -469,7 +501,7 @@ class _Parser:
                 offset = self._nonneg_int("OFFSET")
             else:
                 break
-        if self.peek()[0] != "eof":
+        if not sub and self.peek()[0] != "eof":
             raise SparqlSyntaxError(f"trailing tokens at {self.peek()[1]!r}")
         return Query(
             variables, distinct, from_graphs, where, order, limit,
@@ -640,6 +672,22 @@ class _Parser:
             elif k == "word" and v.upper() == "OPTIONAL":
                 self.next()
                 g.items.append(Optional_(self.group()))
+            elif (k, v) == ("punct", "{") and self._peek2()[0] == "word" \
+                    and self._peek2()[1].upper() == "SELECT":
+                self._enter()
+                self.next()  # '{'
+                self.next()  # SELECT
+                subq = self._select(sub=True)
+                self.expect("punct", "}")
+                self.depth -= 1
+                if self.kw("UNION"):
+                    # GroupGraphPattern in a UNION may be a subselect per
+                    # the grammar; not compiled here — keep the contract of
+                    # raising rather than answering wrong
+                    raise SparqlSyntaxError(
+                        "a subquery as a UNION operand is not supported"
+                    )
+                g.items.append(SubSelect(subq))
             elif (k, v) == ("punct", "{"):
                 left = self.group()
                 if self.kw("UNION"):
@@ -721,8 +769,14 @@ class _Parser:
         "STR", "STRLEN", "UCASE", "LCASE", "CONCAT",
         "FLOOR", "CEIL", "ABS", "ROUND",
         "LANG", "DATATYPE", "COALESCE",
+        "IF", "STRBEFORE", "STRAFTER", "SUBSTR", "REPLACE",
     )
-    _MULTI_ARG_VALUE_FUNCS = ("CONCAT", "COALESCE")
+    # (min, max) argument counts; max None = unbounded; absent = exactly 1
+    _VALUE_FUNC_ARITY = {
+        "CONCAT": (1, None), "COALESCE": (1, None),
+        "STRBEFORE": (2, 2), "STRAFTER": (2, 2),
+        "SUBSTR": (2, 3), "REPLACE": (3, 3),
+    }
     # boolean builtins usable as a FILTER constraint or comparison operand
     _BOOL_FUNCS = (
         "STRSTARTS", "STRENDS", "CONTAINS", "LANGMATCHES",
@@ -780,13 +834,29 @@ class _Parser:
         if k == "word" and v.upper() in self._VALUE_FUNCS:
             fname = self.next()[1].upper()
             self.expect("punct", "(")
+            if fname == "IF":
+                # first argument is a BOOLEAN expression (the FILTER
+                # grammar: comparisons, &&/||/!, boolean builtins)
+                args = [self.expr()]
+                self.expect("punct", ",")
+                args.append(self.value_expr())
+                self.expect("punct", ",")
+                args.append(self.value_expr())
+                self.expect("punct", ")")
+                return Expr("if", args)
             args = [self.value_expr()]
             while self.peek() == ("punct", ","):
                 self.next()
                 args.append(self.value_expr())
             self.expect("punct", ")")
-            if fname not in self._MULTI_ARG_VALUE_FUNCS and len(args) != 1:
-                raise SparqlSyntaxError(f"{fname} takes exactly one argument")
+            lo, hi = self._VALUE_FUNC_ARITY.get(fname, (1, 1))
+            if len(args) < lo or (hi is not None and len(args) > hi):
+                raise SparqlSyntaxError(
+                    f"{fname} takes {lo}"
+                    + (f"-{hi}" if hi not in (lo, None) else "")
+                    + (" or more" if hi is None else "")
+                    + f" argument(s), got {len(args)}"
+                )
             return Expr(fname.lower(), args)
         return Expr("val", [self._operand()])
 
@@ -1286,6 +1356,56 @@ def _compile_value(
                 " (all numeric, all string, or all terms)"
             )
         return F.coalesce(*[c for c, _ in pairs]), kinds.pop()
+    if e.op == "if":
+        cond = _compile_expr(e.args[0], frame_cols, d, numeric_cols)
+        t, tk = _compile_value(e.args[1], frame_cols, numeric_cols, d)
+        f_, fk = _compile_value(e.args[2], frame_cols, numeric_cols, d)
+        if tk != fk:
+            raise SparqlSyntaxError(
+                "IF branches must share one domain"
+                " (both numeric, both string, or both terms)"
+            )
+        return F.when(cond, t).otherwise(f_), tk
+    if e.op in ("strbefore", "strafter"):
+        s, _ = _compile_value(Expr("str", [e.args[0]]), frame_cols, numeric_cols, d)
+        p, _ = _compile_value(Expr("str", [e.args[1]]), frame_cols, numeric_cols, d)
+        # Column-valued needle: the SQL instr(str, substr) form (the PySpark
+        # wrapper's substr parameter is typed str-only; call_function feeds
+        # the raw SQL function, which takes any expression)
+        pos = F.call_function("instr", s, p)
+        if e.op == "strbefore":
+            # spec: empty needle → ""; absent needle → ""
+            out = F.when(F.length(p) == 0, F.lit("")).otherwise(
+                F.when(pos > 0, F.substring(s, F.lit(1), pos - 1)).otherwise(
+                    F.lit("")
+                )
+            )
+        else:
+            # spec: empty needle → the whole string; absent needle → ""
+            out = F.when(F.length(p) == 0, s).otherwise(
+                F.when(
+                    pos > 0,
+                    F.substring(s, pos + F.length(p), F.length(s)),
+                ).otherwise(F.lit(""))
+            )
+        return out, "str"
+    if e.op == "substr":
+        s, _ = _compile_value(Expr("str", [e.args[0]]), frame_cols, numeric_cols, d)
+        st, sk = _compile_value(e.args[1], frame_cols, numeric_cols, d)
+        st = (st if sk == "num" else _numeric(st)).cast("int")
+        if len(e.args) == 3:
+            ln, lk = _compile_value(e.args[2], frame_cols, numeric_cols, d)
+            ln = (ln if lk == "num" else _numeric(ln)).cast("int")
+        else:
+            ln = F.length(s)
+        return F.substring(s, st, ln), "str"
+    if e.op == "replace":
+        s, _ = _compile_value(Expr("str", [e.args[0]]), frame_cols, numeric_cols, d)
+        pat, _ = _compile_value(Expr("str", [e.args[1]]), frame_cols, numeric_cols, d)
+        rep, _ = _compile_value(Expr("str", [e.args[2]]), frame_cols, numeric_cols, d)
+        # regex semantics (SPARQL REPLACE = fn:replace); Spark's
+        # regexp_replace replaces EVERY match, matching the spec
+        return F.regexp_replace(s, pat, rep), "str"
     raise SparqlSyntaxError(f"unknown value expression {e.op}")
 
 
@@ -1752,6 +1872,33 @@ def _exists_join(
     return left.join(rr, cond, how)
 
 
+def _compat_inner_join(frame: DataFrame, right: DataFrame) -> DataFrame:
+    """Inner join under SPARQL join compatibility when a shared variable
+    can be UNBOUND (null) on either side: null matches anything, and the
+    merged binding keeps whichever side was bound (coalesce). Only used
+    when nullability is actually possible — the always-bound case stays a
+    plain hash join on the shared columns."""
+    shared = [c for c in frame.columns if c in right.columns]
+    new_cols = [c for c in right.columns if c not in shared]
+    if not shared:
+        return frame.crossJoin(right)
+    keep = list(frame.columns)
+    rv = right.select(*[F.col(c).alias(f"_v_{c}") for c in right.columns])
+    cond = F.lit(True)
+    for c in shared:
+        lc, rc = F.col(c), F.col(f"_v_{c}")
+        cond = cond & (lc.isNull() | rc.isNull() | (lc == rc))
+    return frame.join(rv, cond, "inner").select(
+        *[
+            F.coalesce(F.col(c), F.col(f"_v_{c}")).alias(c)
+            if c in shared
+            else F.col(c)
+            for c in keep
+        ],
+        *[F.col(f"_v_{c}").alias(c) for c in new_cols],
+    )
+
+
 def _compile_group(quads: DataFrame, spark, group: Group) -> DataFrame | None:
     return _compile_group_mn(quads, spark, group)[0]
 
@@ -1801,6 +1948,28 @@ def _compile_group_mn(
             if sub is not None:
                 frame = _join(frame, sub)
                 maybe_null |= sub_mn
+        elif isinstance(item, SubSelect):
+            if graph_var is not None:
+                # per-graph subquery evaluation (GRAPH ?g { {SELECT ...} })
+                # would need the graph key threaded through the inner
+                # projection — out of scope, raise instead of answering wrong
+                raise SparqlSyntaxError(
+                    "a subquery inside GRAPH ?var is not supported"
+                    " (use GRAPH <iri>)"
+                )
+            sub, sub_mn = _compile_select_mn(quads, spark, item.query)
+            if frame is None:
+                frame = sub
+            else:
+                shared = set(frame.columns) & set(sub.columns)
+                if shared & (maybe_null | sub_mn):
+                    # SPARQL join compatibility: unbound (null) on either
+                    # side matches anything; the merged row keeps the bound
+                    # value — same machinery as the VALUES UNDEF join
+                    frame = _compat_inner_join(frame, sub)
+                else:
+                    frame = _join(frame, sub)
+            maybe_null |= sub_mn
         elif isinstance(item, Group):
             sub, sub_mn = _compile_group_mn(quads, spark, item, graph_var)
             if sub is not None:
@@ -2178,13 +2347,38 @@ def run_sparql(quads: DataFrame, text: str, hide_hk: bool = False) -> DataFrame:
             raise SparqlSyntaxError("empty CONSTRUCT template")
         return out.dropDuplicates(["s", "p", "o"])
 
-    frame = _compile_group(base, spark, q.where)
+    out, _mn = _compile_select_mn(base, spark, q)
+    return out
+
+
+def _compile_select_mn(
+    base: DataFrame, spark, q: Query
+) -> tuple[DataFrame, set[str]]:
+    """The SELECT evaluation pipeline — group compile, aggregate/expression
+    projection, DISTINCT / ORDER BY / OFFSET / LIMIT — shared by the
+    top-level SELECT form and nested SubSelects (§18.2.4 ToMultiSet, where
+    the solution modifiers all apply BEFORE the outer join). Returns the
+    result frame plus its maybe-unbound column set: projected variables
+    keep their group-level nullability; expression aliases can error to
+    null; aggregate aliases other than COUNT can be null (SUM/AVG over
+    non-numeric terms, MIN over all-null groups)."""
+    frame, mn = _compile_group_mn(base, spark, q.where)
     if frame is None:
         raise SparqlSyntaxError("empty WHERE group")
     if not frame.columns:
         raise SparqlSyntaxError("WHERE binds no variables")
     if q.group_by or any(kind == "agg" for kind, _ in q.select_items):
         out = _compile_aggregate(frame, q)
+        out_mn = set()
+        for kind, item in q.select_items:
+            if kind == "var" and item in mn:
+                out_mn.add(item)
+            elif kind == "agg" and item.func != "COUNT":
+                out_mn.add(item.alias)
+            elif kind == "expr":
+                out_mn.add(item[1])
+        if not q.select_items:  # SELECT * GROUP BY ...
+            out_mn = mn & set(q.group_by)
     else:
         if q.having is not None:
             raise SparqlSyntaxError("HAVING requires GROUP BY or aggregates")
@@ -2209,6 +2403,11 @@ def run_sparql(quads: DataFrame, text: str, hide_hk: bool = False) -> DataFrame:
                     c, _ = _value_as_term_or_num(e, cols, numeric)
                     projection.append(c.alias(alias))
             out = frame.select(*projection)
+            out_mn = {
+                item if kind == "var" else item[1]
+                for kind, item in q.select_items
+                if (kind == "var" and item in mn) or kind == "expr"
+            }
         else:
             variables = q.variables or sorted(frame.columns)
             missing = [v for v in variables if v not in frame.columns]
@@ -2217,6 +2416,7 @@ def run_sparql(quads: DataFrame, text: str, hide_hk: bool = False) -> DataFrame:
                     f"projected variables not bound: {missing}"
                 )
             out = frame.select(*variables)
+            out_mn = mn & set(variables)
     if q.distinct:
         out = out.distinct()
     if q.order_by:
@@ -2229,4 +2429,4 @@ def run_sparql(quads: DataFrame, text: str, hide_hk: bool = False) -> DataFrame:
         out = out.offset(q.offset)
     if q.limit is not None:
         out = out.limit(q.limit)
-    return out
+    return out, out_mn

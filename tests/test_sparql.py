@@ -1369,3 +1369,189 @@ class TestMultiValues:
                 "SELECT ?s WHERE { ?s <p> ?o ."
                 " VALUES (?s ?o) { (<a>) } }",
             )
+
+
+class TestSubqueryAndValueBuiltins:
+    """Round-5 extras: nested ``{ SELECT ... }`` subqueries (§18.2.4) and
+    the IF / STRBEFORE / STRAFTER / SUBSTR / REPLACE value builtins."""
+
+    def test_subquery_aggregate_join(self, quads):
+        out = run_sparql(
+            quads,
+            "SELECT ?x ?c WHERE { ?x <http://p/name> ?n ."
+            " { SELECT ?x (COUNT(?y) AS ?c)"
+            "   WHERE { ?x <http://p/knows> ?y } GROUP BY ?x } }",
+        )
+        assert rows(out) == [("<http://e/a>", 1), ("<http://e/b>", 1)]
+
+    def test_subquery_limit_applies_before_join(self, quads):
+        out = run_sparql(
+            quads,
+            "SELECT ?x ?n WHERE { ?x <http://p/name> ?n ."
+            " { SELECT ?x WHERE { ?x <http://p/knows> ?y }"
+            "   ORDER BY ?x LIMIT 1 } }",
+        )
+        assert rows(out) == [("<http://e/a>", '"Alice"@en')]
+
+    def test_subquery_projection_hides_inner_vars(self, quads):
+        # ?y is bound inside the subquery but NOT projected: the outer ?y
+        # is a FRESH variable, so the join must not constrain it
+        out = run_sparql(
+            quads,
+            "SELECT ?x ?y WHERE {"
+            " { SELECT ?x WHERE { ?x <http://p/knows> ?y } }"
+            " ?x <http://p/name> ?y }",
+        )
+        assert rows(out) == [
+            ("<http://e/a>", '"Alice"@en'),
+            ("<http://e/b>", '"Bob"@en'),
+        ]
+
+    def test_subquery_distinct_multiplicity(self, quads):
+        # without DISTINCT the subquery is a bag: <http://e/a> knows 1,
+        # names 1 -> one row each; DISTINCT inside dedups before the join
+        out = run_sparql(
+            quads,
+            "SELECT ?x WHERE { ?x <http://p/name> ?n ."
+            " { SELECT DISTINCT ?x WHERE { ?x <http://p/knows> ?y } } }",
+        )
+        assert rows(out) == [("<http://e/a>",), ("<http://e/b>",)]
+
+    def test_subquery_no_shared_vars_cross(self, quads):
+        out = run_sparql(
+            quads,
+            "SELECT ?n ?z WHERE { <http://e/a> <http://p/name> ?n ."
+            " { SELECT ?z WHERE { <http://e/x> <http://p/knows> ?z } } }",
+        )
+        assert rows(out) == [('"Alice"@en', "<http://e/y>")]
+
+    def test_subquery_with_optional_null_shared_var(self, quads):
+        # outer OPTIONAL leaves ?k null for <http://e/x>; the subquery
+        # binds ?k -- compatibility join must keep the null row matched
+        # against every subquery row, merging in the bound value
+        out = run_sparql(
+            quads,
+            "SELECT ?s ?k WHERE { ?s <http://p/knows> ?o ."
+            " OPTIONAL { ?s <http://p/age> ?k }"
+            " { SELECT ?k WHERE { <http://e/a> <http://p/age> ?k } } }",
+        )
+        assert rows(out) == [
+            (
+                "<http://e/a>",
+                '"42"^^<http://www.w3.org/2001/XMLSchema#integer>',
+            ),
+            (
+                "<http://e/x>",
+                '"42"^^<http://www.w3.org/2001/XMLSchema#integer>',
+            ),
+        ]
+
+    def test_subquery_in_union_raises(self, quads):
+        with pytest.raises(SparqlSyntaxError, match="UNION"):
+            run_sparql(
+                quads,
+                "SELECT ?x WHERE {"
+                " { SELECT ?x WHERE { ?x <http://p/knows> ?y } }"
+                " UNION { ?x <http://p/name> ?n } }",
+            )
+
+    def test_subquery_under_graph_var_raises(self, quads):
+        with pytest.raises(SparqlSyntaxError, match="GRAPH"):
+            run_sparql(
+                quads,
+                "SELECT ?g ?x WHERE { GRAPH ?g {"
+                " { SELECT ?x WHERE { ?x <http://p/knows> ?y } } } }",
+            )
+
+    def test_subquery_under_ground_graph_scopes(self, quads):
+        out = run_sparql(
+            quads,
+            "SELECT ?x WHERE { GRAPH <http://g/2> {"
+            " { SELECT ?x WHERE { ?x <http://p/knows> ?y } } } }",
+        )
+        assert rows(out) == [("<http://e/x>",)]
+
+    def test_if_numeric_condition(self, quads):
+        out = run_sparql(
+            quads,
+            'SELECT ?x (IF(?a > 20, "old", "young") AS ?grp)'
+            " WHERE { ?x <http://p/age> ?a }",
+        )
+        assert rows(out) == [
+            ("<http://e/a>", '"old"'),
+            ("<http://e/b>", '"young"'),
+        ]
+
+    def test_if_mixed_domains_raises(self, quads):
+        with pytest.raises(SparqlSyntaxError, match="domain"):
+            run_sparql(
+                quads,
+                'SELECT (IF(?a > 20, "old", 5) AS ?grp)'
+                " WHERE { ?x <http://p/age> ?a }",
+            )
+
+    def test_strbefore_strafter(self, quads):
+        out = run_sparql(
+            quads,
+            'SELECT ?x (STRBEFORE(STR(?n), "li") AS ?b)'
+            ' (STRAFTER(STR(?n), "li") AS ?af)'
+            " WHERE { ?x <http://p/name> ?n }",
+        )
+        assert rows(out) == [
+            ("<http://e/a>", '"A"', '"ce"'),
+            ("<http://e/b>", '""', '""'),  # needle absent -> "" both
+        ]
+
+    def test_strbefore_strafter_empty_needle_spec_edges(self, quads):
+        # fn:substring-before(s, "") = "" ; fn:substring-after(s, "") = s
+        out = run_sparql(
+            quads,
+            'SELECT ?x (STRBEFORE(STR(?n), "") AS ?b)'
+            ' (STRAFTER(STR(?n), "") AS ?af)'
+            " WHERE { ?x <http://p/name> ?n }",
+        )
+        assert rows(out) == [
+            ("<http://e/a>", '""', '"Alice"'),
+            ("<http://e/b>", '""', '"Bob"'),
+        ]
+
+    def test_substr_two_and_three_arg(self, quads):
+        out = run_sparql(
+            quads,
+            'SELECT ?x (SUBSTR(STR(?n), 2, 3) AS ?mid)'
+            " (SUBSTR(STR(?n), 2) AS ?tail)"
+            " WHERE { ?x <http://p/name> ?n }",
+        )
+        assert rows(out) == [
+            ("<http://e/a>", '"lic"', '"lice"'),
+            ("<http://e/b>", '"ob"', '"ob"'),
+        ]
+
+    def test_replace_regex_all_matches(self, quads):
+        out = run_sparql(
+            quads,
+            'SELECT ?x (REPLACE(STR(?n), "[aeiou]", "_") AS ?r)'
+            " WHERE { ?x <http://p/name> ?n }",
+        )
+        assert rows(out) == [
+            ("<http://e/a>", '"Al_c_"'),
+            ("<http://e/b>", '"B_b"'),
+        ]
+
+    def test_if_in_bind_feeds_filter(self, quads):
+        out = run_sparql(
+            quads,
+            "SELECT ?x WHERE { ?x <http://p/age> ?a ."
+            ' BIND(IF(?a > 20, "keep", "drop") AS ?tag)'
+            ' FILTER (?tag = "keep") }',
+        )
+        assert rows(out) == [("<http://e/a>",)]
+
+    def test_arity_errors(self, quads):
+        for bad in (
+            'SELECT (STRBEFORE(STR(?n)) AS ?z) WHERE { ?x <http://p/name> ?n }',
+            'SELECT (SUBSTR(STR(?n), 1, 2, 3) AS ?z) WHERE { ?x <http://p/name> ?n }',
+            'SELECT (REPLACE(STR(?n), "a") AS ?z) WHERE { ?x <http://p/name> ?n }',
+        ):
+            with pytest.raises(SparqlSyntaxError, match="argument"):
+                run_sparql(quads, bad)
