@@ -54,7 +54,11 @@ algebra and compiles to a DataFrame plan:
   can actually be unbound — the compiler TRACKS maybe-null variables so
   the common case stays a hash join); ``MINUS`` → left-anti with §18.5
   minus-compatibility (disjoint domains remove nothing, diverging from
-  NOT EXISTS exactly as the spec demands);
+  NOT EXISTS exactly as the spec demands). [NOT] EXISTS may also appear as
+  an OPERAND of a larger boolean FILTER (``FILTER(EXISTS {...} || ?x >
+  5)``): each embedded existence test precomputes a boolean marker column
+  via a deduplicated left join, the expression filters over the markers,
+  and the markers drop out — the pure form keeps the semi/anti fast path;
 - ``BIND(expr AS ?v)`` and ``SELECT (expr AS ?v)`` expression projections:
   arithmetic over decoded numerics, STR/STRLEN/UCASE/LCASE/CONCAT,
   FLOOR/CEIL/ABS/ROUND, LANG/DATATYPE/COALESCE, IF(bool, a, b),
@@ -65,7 +69,8 @@ algebra and compiles to a DataFrame plan:
 - subqueries ``{ SELECT ... }`` (§18.2.4): the inner query — aggregates,
   DISTINCT, ORDER BY + LIMIT and all — evaluates against the same dataset
   and joins the outer group on its PROJECTED variables only (compatibility
-  join when a shared variable can be unbound on either side);
+  join when a shared variable can be unbound on either side); a subselect
+  can also stand as a UNION operand;
 - FILTER builtins: REGEX/BOUND plus STRSTARTS/STRENDS/CONTAINS/
   LANGMATCHES (basic language ranges) and isIRI/isLiteral/isBlank (the P3
   term-kind predicates surfaced to user SPARQL); comparison operands may
@@ -74,8 +79,8 @@ algebra and compiles to a DataFrame plan:
   side's literal value).
 
 Subset contract: SELECT / ASK / DESCRIBE / CONSTRUCT queries over the forms
-above. Anything else ([NOT] EXISTS nested inside a larger boolean
-expression, a subquery as a UNION operand or under GRAPH ?var) raises
+above. Anything else (EXISTS inside IF/HAVING/BIND value positions, a
+subquery under GRAPH ?var, property paths under GRAPH ?var) raises
 ``SparqlSyntaxError`` — never a silently wrong answer.
 DESCRIBE-style fetches also exist as ``plans.query.from_uris``; programmatic
 assembly (Q10) is the DataFrame/filter-dict API plus this text entry.
@@ -672,29 +677,15 @@ class _Parser:
             elif k == "word" and v.upper() == "OPTIONAL":
                 self.next()
                 g.items.append(Optional_(self.group()))
-            elif (k, v) == ("punct", "{") and self._peek2()[0] == "word" \
-                    and self._peek2()[1].upper() == "SELECT":
-                self._enter()
-                self.next()  # '{'
-                self.next()  # SELECT
-                subq = self._select(sub=True)
-                self.expect("punct", "}")
-                self.depth -= 1
-                if self.kw("UNION"):
-                    # GroupGraphPattern in a UNION may be a subselect per
-                    # the grammar; not compiled here — keep the contract of
-                    # raising rather than answering wrong
-                    raise SparqlSyntaxError(
-                        "a subquery as a UNION operand is not supported"
-                    )
-                g.items.append(SubSelect(subq))
             elif (k, v) == ("punct", "{"):
-                left = self.group()
+                # GroupGraphPattern: a braced group OR a subselect — either
+                # may be a UNION operand per the grammar
+                left = self._group_or_subselect()
                 if self.kw("UNION"):
-                    right = self.group()
+                    right = self._group_or_subselect()
                     u = Union(left, right)
                     while self.kw("UNION"):
-                        u = Union(Group([u]), self.group())
+                        u = Union(Group([u]), self._group_or_subselect())
                     g.items.append(u)
                 else:
                     g.items.append(left)
@@ -703,6 +694,24 @@ class _Parser:
             if self.peek() == ("punct", "."):
                 self.next()
         raise AssertionError
+
+    def _group_or_subselect(self) -> Group:
+        """A GroupGraphPattern operand: ``{ SELECT ... }`` wraps to a
+        single-item Group (compiled identically standalone or as a UNION
+        branch); anything else is an ordinary braced group."""
+        if (
+            self.peek() == ("punct", "{")
+            and self._peek2()[0] == "word"
+            and self._peek2()[1].upper() == "SELECT"
+        ):
+            self._enter()
+            self.next()  # '{'
+            self.next()  # SELECT
+            subq = self._select(sub=True)
+            self.expect("punct", "}")
+            self.depth -= 1
+            return Group([SubSelect(subq)])
+        return self.group()
 
     def _multi_values(self) -> "MultiValues":
         """'(' ?var+ ')' '{' ('(' (term|UNDEF)* ')')* '}'."""
@@ -738,22 +747,30 @@ class _Parser:
 
     def _filter_constraint(self):
         """The constraint after FILTER: ``EXISTS {..}`` / ``NOT EXISTS {..}``
-        (BuiltInCall — no parentheses per the grammar), the same wrapped in
-        a single pair of parentheses, or a parenthesized boolean
-        expression. [NOT] EXISTS inside a LARGER boolean expression is not
-        supported (raises — never a silently wrong answer)."""
+        (BuiltInCall — no parentheses per the grammar) or a parenthesized
+        boolean expression, in which [NOT] EXISTS may appear as an operand
+        of a larger &&/||/! combination (compiled via boolean marker
+        columns; a PURE [NOT] EXISTS keeps the direct semi/anti fast
+        path)."""
         k, v = self.peek()
         if k == "word" and v.upper() in ("EXISTS", "NOT"):
             return self._exists()
         self.expect("punct", "(")
-        k, v = self.peek()
-        if k == "word" and v.upper() in ("EXISTS", "NOT"):
-            e = self._exists()
-            self.expect("punct", ")")
-            return e
-        e = Filter(self.expr())
+        e = self.expr()
         self.expect("punct", ")")
-        return e
+        return self._as_filter(e)
+
+    @staticmethod
+    def _as_filter(e: "Expr"):
+        """Fold a parsed FILTER expression to the best algebra node: a bare
+        (possibly !-negated) EXISTS becomes the semi/anti-join ExistsFilter;
+        anything else stays a Filter expression."""
+        if e.op == "exists":
+            return ExistsFilter(e.args[0], e.args[1])
+        if e.op == "not" and e.args[0].op == "exists":
+            inner = e.args[0]
+            return ExistsFilter(inner.args[0], not inner.args[1])
+        return Filter(e)
 
     def _exists(self) -> "ExistsFilter":
         positive = True
@@ -1029,6 +1046,16 @@ class _Parser:
             self.expect("punct", ")")
             self.depth -= 1
             return e
+        if k == "word" and v.upper() == "EXISTS":
+            self.next()
+            return Expr("exists", [self.group(), True])
+        if k == "word" and v.upper() == "NOT" and (
+            self._peek2()[0] == "word"
+            and self._peek2()[1].upper() == "EXISTS"
+        ):
+            self.next()
+            self.next()
+            return Expr("exists", [self.group(), False])
         if k == "word" and v.upper() == "REGEX":
             self.next()
             self.expect("punct", "(")
@@ -1135,6 +1162,15 @@ def _compile_expr(
     if e.op == "bound":
         var = e.args[0]
         return F.col(var).isNotNull() if var in frame_cols else F.lit(False)
+    if e.op == "marker":
+        # a precomputed EXISTS marker column (see _apply_filter): null
+        # means the probe found no match — boolean False
+        return F.coalesce(F.col(e.args[0]), F.lit(False))
+    if e.op == "exists":
+        raise SparqlSyntaxError(
+            "[NOT] EXISTS is only supported inside a FILTER boolean"
+            " expression (not in IF conditions, HAVING, or BIND)"
+        )
     if e.op == "regex":
         col, _ = _operand_col(e.args[0], frame_cols)
         return F.coalesce(T.literal_value(col), col).rlike(e.args[1])
@@ -1899,6 +1935,21 @@ def _compat_inner_join(frame: DataFrame, right: DataFrame) -> DataFrame:
     )
 
 
+def _join_compat(
+    frame: DataFrame | None, sub: DataFrame, nullable_cols: set[str]
+) -> DataFrame:
+    """Join a compiled sub-frame (group / union / subselect result) into
+    the accumulating group frame: the plain `_join` unless a SHARED variable
+    can be unbound on either side, where SPARQL join compatibility requires
+    the null-matches-anything condition + coalesce merge."""
+    if frame is None:
+        return sub
+    shared = set(frame.columns) & set(sub.columns)
+    if shared & nullable_cols:
+        return _compat_inner_join(frame, sub)
+    return _join(frame, sub)
+
+
 def _compile_group(quads: DataFrame, spark, group: Group) -> DataFrame | None:
     return _compile_group_mn(quads, spark, group)[0]
 
@@ -1946,7 +1997,7 @@ def _compile_group_mn(
                     quads.filter(F.col("g") == item.term), spark, item.group
                 )
             if sub is not None:
-                frame = _join(frame, sub)
+                frame = _join_compat(frame, sub, maybe_null | sub_mn)
                 maybe_null |= sub_mn
         elif isinstance(item, SubSelect):
             if graph_var is not None:
@@ -1958,22 +2009,15 @@ def _compile_group_mn(
                     " (use GRAPH <iri>)"
                 )
             sub, sub_mn = _compile_select_mn(quads, spark, item.query)
-            if frame is None:
-                frame = sub
-            else:
-                shared = set(frame.columns) & set(sub.columns)
-                if shared & (maybe_null | sub_mn):
-                    # SPARQL join compatibility: unbound (null) on either
-                    # side matches anything; the merged row keeps the bound
-                    # value — same machinery as the VALUES UNDEF join
-                    frame = _compat_inner_join(frame, sub)
-                else:
-                    frame = _join(frame, sub)
+            # SPARQL join compatibility when a shared variable can be
+            # unbound on either side — same machinery as the VALUES UNDEF
+            # join (null matches anything, merged row keeps the bound value)
+            frame = _join_compat(frame, sub, maybe_null | sub_mn)
             maybe_null |= sub_mn
         elif isinstance(item, Group):
             sub, sub_mn = _compile_group_mn(quads, spark, item, graph_var)
             if sub is not None:
-                frame = _join(frame, sub)
+                frame = _join_compat(frame, sub, maybe_null | sub_mn)
                 maybe_null |= sub_mn
         elif isinstance(item, Union):
             l, l_mn = _compile_group_mn(quads, spark, item.left, graph_var)
@@ -1981,10 +2025,10 @@ def _compile_group_mn(
             if l is None or r is None:
                 raise SparqlSyntaxError("empty UNION branch")
             u = l.unionByName(r, allowMissingColumns=True)
-            frame = _join(frame, u)
             # a var missing from either branch is unbound in the other's rows
-            maybe_null |= l_mn | r_mn
-            maybe_null |= set(l.columns) ^ set(r.columns)
+            u_mn = l_mn | r_mn | (set(l.columns) ^ set(r.columns))
+            frame = _join_compat(frame, u, maybe_null | u_mn)
+            maybe_null |= u_mn
         elif isinstance(item, Optional_):
             sub, sub_mn = _compile_group_mn(quads, spark, item.group, graph_var)
             if sub is not None:
@@ -2075,14 +2119,108 @@ def _compile_group_mn(
                 raise SparqlSyntaxError("empty EXISTS group")
             frame = _exists_join(frame, sub, flt.positive, maybe_null | sub_mn)
         else:
-            frame = frame.filter(
-                _compile_expr(
-                    flt.expr,
-                    set(frame.columns),
-                    numeric_cols=_numeric_dtype_cols(frame),
-                )
+            frame = _apply_filter(
+                quads, spark, frame, flt.expr, maybe_null, graph_var
             )
     return frame, maybe_null
+
+
+def _extract_exists(e: Expr, found: list) -> Expr:
+    """Rebuild a FILTER expression tree, replacing every ``exists`` node
+    with a reference to a precomputed boolean marker column (appended to
+    ``found`` as (name, group)). A NEGATIVE exists becomes NOT over the
+    positive marker."""
+    if e.op == "exists":
+        name = f"_ex_{len(found)}"
+        found.append((name, e.args[0]))
+        marker = Expr("marker", [name])
+        return marker if e.args[1] else Expr("not", [marker])
+    if not any(isinstance(a, Expr) for a in e.args):
+        return e
+    return Expr(
+        e.op,
+        [_extract_exists(a, found) if isinstance(a, Expr) else a
+         for a in e.args],
+    )
+
+
+def _exists_marker(
+    frame: DataFrame, inner: DataFrame, name: str, slow_cols: set[str]
+) -> DataFrame:
+    """Attach a boolean column ``name`` to ``frame``: true iff the inner
+    pattern has a solution COMPATIBLE with the row (the EXISTS test as
+    data instead of a semi-join — needed when the result feeds a larger
+    boolean expression). One row in, one row out:
+
+    - no shared variables → a 1-row limit(1) probe broadcast-left-joined
+      on TRUE (matches-anywhere semantics);
+    - always-bound shared domain → deduplicated inner keys left-joined on
+      the shared columns (one hash join, no fan-out because the probe side
+      is distinct);
+    - nullable shared domain → per-row id + compatibility-condition join,
+      distinct matched ids re-joined (the id pinned by localCheckpoint so
+      both references see the same values)."""
+    shared = [
+        c for c in frame.columns
+        if c in inner.columns and not c.startswith("_ex_")
+    ]
+    if not shared:
+        probe = inner.limit(1).select(F.lit(True).alias(name))
+        return frame.join(probe, F.lit(True), "left")
+    r = inner.select(*shared).dropDuplicates()
+    if not (slow_cols & set(shared)):
+        return frame.join(r.withColumn(name, F.lit(True)), shared, "left")
+    rid = f"_ex_rid{name}"
+    tagged = frame.withColumn(
+        rid, F.monotonically_increasing_id()
+    ).localCheckpoint()
+    rr = r.select(*[F.col(c).alias(f"_r_{c}") for c in shared])
+    cond = F.lit(True)
+    for c in shared:
+        lc, rc = F.col(c), F.col(f"_r_{c}")
+        cond = cond & (lc.isNull() | rc.isNull() | (lc == rc))
+    matched = (
+        tagged.join(rr, cond, "inner")
+        .select(F.col(rid).alias(rid))  # fresh attribute id (self-join)
+        .distinct()
+        .withColumn(name, F.lit(True))
+    )
+    return tagged.join(matched, rid, "left").drop(rid)
+
+
+def _apply_filter(
+    quads: DataFrame,
+    spark,
+    frame: DataFrame,
+    expr: Expr,
+    maybe_null: set[str],
+    graph_var: str | None,
+) -> DataFrame:
+    """Apply one FILTER expression. When the tree embeds [NOT] EXISTS
+    operands, each inner group compiles to a boolean marker column first
+    (_exists_marker), the rewritten tree filters over the markers, and the
+    markers are dropped — so EXISTS composes with &&/||/! like any other
+    boolean. The common no-EXISTS tree stays a single filter() call."""
+    found: list = []
+    new_expr = _extract_exists(expr, found)
+    if not found:
+        return frame.filter(
+            _compile_expr(
+                expr, set(frame.columns),
+                numeric_cols=_numeric_dtype_cols(frame),
+            )
+        )
+    keep = list(frame.columns)
+    for name, grp in found:
+        inner, inner_mn = _compile_group_mn(quads, spark, grp, graph_var)
+        if inner is None:
+            raise SparqlSyntaxError("empty EXISTS group")
+        frame = _exists_marker(frame, inner, name, maybe_null | inner_mn)
+    cond = _compile_expr(
+        new_expr, set(frame.columns),
+        numeric_cols=_numeric_dtype_cols(frame),
+    )
+    return frame.filter(cond).select(*keep)
 
 
 def _agg_col(a: Aggregate, frame_cols: set[str]) -> Column:

@@ -988,13 +988,15 @@ class TestExistsMinusBind:
             ("<http://e/x>", None),
         ]
 
-    def test_exists_inside_boolean_raises(self, quads):
-        with pytest.raises(SparqlSyntaxError):
-            run_sparql(
-                quads,
-                "SELECT ?x WHERE { ?x <http://p/name> ?n ."
-                " FILTER(EXISTS { ?x <http://p/knows> ?y } && ?n = ?n) }",
-            )
+    def test_exists_inside_boolean_composes(self, quads):
+        # formerly a documented raise; round 5 compiles embedded EXISTS
+        # via marker columns (TestExistsInBooleanExpr has the full matrix)
+        out = run_sparql(
+            quads,
+            "SELECT ?x WHERE { ?x <http://p/name> ?n ."
+            " FILTER(EXISTS { ?x <http://p/knows> ?y } && ?n = ?n) }",
+        )
+        assert rows(out) == [("<http://e/a>",), ("<http://e/b>",)]
 
     def test_bind_arithmetic_feeds_filter(self, quads):
         out = run_sparql(
@@ -1446,14 +1448,54 @@ class TestSubqueryAndValueBuiltins:
             ),
         ]
 
-    def test_subquery_in_union_raises(self, quads):
-        with pytest.raises(SparqlSyntaxError, match="UNION"):
-            run_sparql(
-                quads,
-                "SELECT ?x WHERE {"
-                " { SELECT ?x WHERE { ?x <http://p/knows> ?y } }"
-                " UNION { ?x <http://p/name> ?n } }",
-            )
+    def test_nested_group_compat_join_with_optional_null(self, quads):
+        # same compatibility requirement through a PLAIN nested group: the
+        # OPTIONAL leaves ?k null for <http://e/x>; the nested group binds
+        # ?k for <http://e/a> only — null must match and merge the binding
+        out = run_sparql(
+            quads,
+            "SELECT ?s ?k WHERE { ?s <http://p/knows> ?o ."
+            " OPTIONAL { ?s <http://p/age> ?k }"
+            " { <http://e/a> <http://p/age> ?k } }",
+        )
+        assert rows(out) == [
+            (
+                "<http://e/a>",
+                '"42"^^<http://www.w3.org/2001/XMLSchema#integer>',
+            ),
+            (
+                "<http://e/x>",
+                '"42"^^<http://www.w3.org/2001/XMLSchema#integer>',
+            ),
+        ]
+
+    def test_subquery_as_union_operand(self, quads):
+        # bag union of the subselect's knowers {a, b, x} with the named
+        # entities {a, b} — five rows, duplicates preserved
+        out = run_sparql(
+            quads,
+            "SELECT ?x WHERE {"
+            " { SELECT ?x WHERE { ?x <http://p/knows> ?y } }"
+            " UNION { ?x <http://p/name> ?n } }",
+        )
+        assert rows(out) == [
+            ("<http://e/a>",), ("<http://e/a>",),
+            ("<http://e/b>",), ("<http://e/b>",),
+            ("<http://e/x>",),
+        ]
+
+    def test_subquery_as_second_union_operand(self, quads):
+        out = run_sparql(
+            quads,
+            "SELECT ?x WHERE { { ?x <http://p/name> ?n }"
+            " UNION { SELECT DISTINCT ?x WHERE"
+            " { ?x <http://p/knows> ?y } } }",
+        )
+        assert rows(out) == [
+            ("<http://e/a>",), ("<http://e/a>",),
+            ("<http://e/b>",), ("<http://e/b>",),
+            ("<http://e/x>",),
+        ]
 
     def test_subquery_under_graph_var_raises(self, quads):
         with pytest.raises(SparqlSyntaxError, match="GRAPH"):
@@ -1555,3 +1597,127 @@ class TestSubqueryAndValueBuiltins:
         ):
             with pytest.raises(SparqlSyntaxError, match="argument"):
                 run_sparql(quads, bad)
+
+
+class TestExistsInBooleanExpr:
+    """[NOT] EXISTS as an operand of a larger boolean FILTER — compiled
+    via precomputed marker columns; the pure form stays a semi/anti join."""
+
+    def test_exists_or_comparison(self, quads):
+        # named entities: a, b — both know someone, neither name starts
+        # with Z; the EXISTS disjunct alone keeps both rows
+        out = run_sparql(
+            quads,
+            "SELECT ?s WHERE { ?s <http://p/name> ?n ."
+            " FILTER(EXISTS { ?s <http://p/knows> ?o } ||"
+            ' STRSTARTS(STR(?n), "Z")) }',
+        )
+        assert rows(out) == [("<http://e/a>",), ("<http://e/b>",)]
+
+    def test_exists_or_true_branch_saves_row(self, quads):
+        # <http://e/a> fails EXISTS{<a> knows <c>}? -- test a row kept
+        # ONLY by the non-exists disjunct
+        out = run_sparql(
+            quads,
+            "SELECT ?s WHERE { ?s <http://p/name> ?n ."
+            " FILTER(EXISTS { ?s <http://p/knows> <http://e/c> } ||"
+            ' STRSTARTS(STR(?n), "A")) }',
+        )
+        # b knows c (exists); a starts with A (disjunct)
+        assert rows(out) == [("<http://e/a>",), ("<http://e/b>",)]
+
+    def test_not_exists_and_comparison(self, quads):
+        # age > 10 AND no knowledge of <http://e/c>: a qualifies (knows b),
+        # b does not (knows c)
+        out = run_sparql(
+            quads,
+            "SELECT ?s WHERE { ?s <http://p/age> ?a ."
+            " FILTER(?a > 10 && NOT EXISTS"
+            " { ?s <http://p/knows> <http://e/c> }) }",
+        )
+        assert rows(out) == [("<http://e/a>",)]
+
+    def test_two_exists_conjunction(self, quads):
+        out = run_sparql(
+            quads,
+            "SELECT ?s WHERE { ?s <http://p/name> ?n ."
+            " FILTER(EXISTS { ?s <http://p/knows> ?o } &&"
+            " EXISTS { ?s <http://p/age> ?a }) }",
+        )
+        assert rows(out) == [("<http://e/a>",), ("<http://e/b>",)]
+
+    def test_negated_exists_operand(self, quads):
+        out = run_sparql(
+            quads,
+            "SELECT ?s WHERE { ?s <http://p/name> ?n ."
+            " FILTER(!EXISTS { ?s <http://p/knows> <http://e/c> } &&"
+            " EXISTS { ?s <http://p/knows> ?o }) }",
+        )
+        assert rows(out) == [("<http://e/a>",)]
+
+    def test_exists_no_shared_vars_in_disjunction(self, quads):
+        # inner pattern shares nothing: matches-anywhere semantics (true)
+        out = run_sparql(
+            quads,
+            "SELECT ?s WHERE { ?s <http://p/age> ?a ."
+            " FILTER(?a > 100 || EXISTS"
+            " { <http://e/x> <http://p/knows> ?z }) }",
+        )
+        assert rows(out) == [("<http://e/a>",), ("<http://e/b>",)]
+
+    def test_exists_no_shared_vars_false_case(self, quads):
+        out = run_sparql(
+            quads,
+            "SELECT ?s WHERE { ?s <http://p/age> ?a ."
+            " FILTER(?a > 100 || EXISTS"
+            " { <http://e/zzz> <http://p/knows> ?z }) }",
+        )
+        assert rows(out) == []
+
+    def test_exists_with_nullable_shared_var(self, quads):
+        # ?k is OPTIONAL-null for x: EXISTS must treat the unbound ?k as
+        # free (matches any inner binding)
+        out = run_sparql(
+            quads,
+            "SELECT ?s WHERE { ?s <http://p/knows> ?o ."
+            " OPTIONAL { ?s <http://p/age> ?k }"
+            " FILTER(EXISTS { ?q <http://p/age> ?k } &&"
+            " EXISTS { ?s <http://p/knows> ?o2 }) }",
+        )
+        # every knower: a (k=42 exists), b (17 exists), x (null k free)
+        assert rows(out) == [
+            ("<http://e/a>",), ("<http://e/b>",), ("<http://e/x>",),
+        ]
+
+    def test_row_multiplicity_preserved(self, quads):
+        # marker join must not fan out: one solution row in, one out even
+        # when the inner group has MANY compatible rows
+        out = run_sparql(
+            quads,
+            "SELECT ?s ?o WHERE { ?s <http://p/knows> ?o ."
+            " FILTER(EXISTS { ?s <http://p/name> ?n } ||"
+            " EXISTS { ?z <http://p/knows> ?s }) }",
+        )
+        assert rows(out) == [
+            ("<http://e/a>", "<http://e/b>"),
+            ("<http://e/b>", "<http://e/c>"),
+        ]
+
+    def test_exists_in_if_condition_raises(self, quads):
+        with pytest.raises(SparqlSyntaxError, match="EXISTS"):
+            run_sparql(
+                quads,
+                'SELECT (IF(EXISTS { ?s <http://p/knows> ?o }, "y", "n")'
+                " AS ?z) WHERE { ?s <http://p/age> ?a }",
+            )
+
+    def test_pure_exists_still_fast_path(self, quads):
+        from rdf2hk_spark.plans.sparql import parse_sparql
+        from rdf2hk_spark.plans import sparql as S
+
+        q = parse_sparql(
+            "SELECT ?x WHERE { ?x <p> ?y ."
+            " FILTER(NOT EXISTS { ?x <q> ?z }) }"
+        )
+        assert isinstance(q.where.items[-1], S.ExistsFilter)
+        assert q.where.items[-1].positive is False
