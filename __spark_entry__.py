@@ -1120,6 +1120,114 @@ def q_doc_repetition(spark, sf_dir):
     return textstats.repetition_stats(_docs(spark, sf_dir), n=2)
 
 
+def q_doc_decontam(spark, sf_dir):
+    """Benchmark decontamination (the GPT-3/Llama hygiene pass): docs from
+    source 'src0' act as the held-out eval set; every OTHER doc is flagged
+    when it shares any word 8-gram with that set. The eval gram set is
+    broadcast, so the corpus side never shuffles on gram content
+    (ops.decontam)."""
+    from rdf2hk_spark.ops import decontam
+
+    d = _docs(spark, sf_dir)
+    return decontam.decontaminate(
+        d.filter(F.col("source") != "src0"),
+        d.filter(F.col("source") == "src0"),
+        n=8,
+    )
+
+
+def _lined_docs(spark, sf_dir):
+    """documents re-chunked into 8-token '\\n'-joined LINES plus seeded
+    boilerplate (a cookie-banner line prepended to every 3rd doc, a
+    license line appended to every 4th) — deterministic on both engines —
+    so the line-dedup pass has real cross-doc line structure to remove
+    (the synthetic corpus is single-line with no repeated aligned
+    chunks)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    lined = F.array_join(
+        F.transform(
+            F.sequence(
+                F.lit(0), F.floor((F.size("w") - 1) / 8).cast("int")
+            ),
+            lambda i: F.array_join(F.slice("w", i * 8 + 1, 8), " "),
+        ),
+        "\n",
+    )
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("accept cookies to continue\n"),
+            ).otherwise(F.lit("")),
+            lined,
+            F.when(
+                F.col("doc_id") % 4 == 0, F.lit("\nall rights reserved")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def q_doc_line_dedup(spark, sf_dir):
+    """CCNet-style duplicate-line removal: any line appearing in >= 2
+    distinct docs (the seeded boilerplate, plus any natural aligned-chunk
+    collision) is dropped from every doc; per-doc reassembly preserves
+    line order (ops.dedup.line_dedup — two keyed shuffles, line-hash then
+    doc id)."""
+    return dedup.line_dedup(_lined_docs(spark, sf_dir), min_docs=2)
+
+
+def _pii_docs(spark, sf_dir):
+    """documents with deterministic seeded PII: email+IPv4 appended for
+    doc_id % 3 == 0, a phone number for doc_id % 5 == 0 (both engines
+    derive the same strings, and docs with NO pii stay present to prove
+    the zero rows)."""
+    did = F.col("doc_id")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    did.cast("string"),
+                    F.lit("@mail.example.com from 10.0."),
+                    (did % 250).cast("string"),
+                    F.lit(".7"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0,
+                F.concat(
+                    F.lit(" call +1 555-123-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def q_doc_pii(spark, sf_dir):
+    """PII counting + redaction over the seeded corpus: engine-portable
+    regexes (java.util.regex == RE2 on this subset), counts on the
+    original text, typed placeholders applied email -> ip -> phone
+    (ops.pii). Pure map — zero shuffles."""
+    from rdf2hk_spark.ops import pii
+
+    return pii.pii_redact(_pii_docs(spark, sf_dir))
+
+
+def q_doc_top_ngrams(spark, sf_dir):
+    """Corpus-wide top-25 word trigrams (count desc, gram asc — a total
+    order, so the k-cut is deterministic): one gram-keyed shuffle with
+    map-side partial aggregation, then TakeOrderedAndProject
+    (ops.textstats.top_ngrams)."""
+    return textstats.top_ngrams(_docs(spark, sf_dir), n=3, k=25)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_connectors": q_kg_connectors,
@@ -1185,6 +1293,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_langid": q_doc_langid,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_repetition": q_doc_repetition,
+        "doc_decontam": q_doc_decontam,
+        "doc_line_dedup": q_doc_line_dedup,
+        "doc_pii": q_doc_pii,
+        "doc_top_ngrams": q_doc_top_ngrams,
     }
 
 
@@ -1193,6 +1305,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _Q = tpch_kg.QUADS_CTE
+
+# word 8-gram over a DuckDB token list `w` at index `i` (decontam oracle)
+_GRAM8 = " || ' ' || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(8))
+
+# the exact engine regexes (ops.pii) — valid under BOTH java.util.regex and
+# RE2 with identical semantics (no backreferences/lookaround)
+from rdf2hk_spark.ops.pii import (  # noqa: E402
+    EMAIL_RE as _PII_EMAIL,
+    IPV4_RE as _PII_IPV4,
+    PHONE_RE as _PII_PHONE,
+)
 _ESC_G = tpch_kg.ESC.format(x="l.g")
 _ESC_S = tpch_kg.ESC.format(x="l.s")
 
@@ -2360,5 +2483,116 @@ def oracle_sql() -> dict[str, str]:
                    len(g.w)::BIGINT AS n_words,
                    len(list_distinct(g.w))::BIGINT AS n_distinct_words
             FROM g LEFT JOIN gc ON gc.id = g.id
+        """,
+        "doc_decontam": f"""
+            WITH ec AS (SELECT string_split(lower(text), ' ') AS w
+                        FROM documents WHERE source = 'src0'),
+            ev AS (
+              SELECT DISTINCT
+                     unnest(list_transform(
+                       generate_series(1, greatest(len(w) - 7, 0)),
+                       i -> {_GRAM8})) AS gram
+              FROM ec
+            ),
+            c AS (
+              SELECT doc_id AS id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(w) - 7, 0)),
+                       i -> {_GRAM8})) AS grams
+              FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+                    FROM documents WHERE source <> 'src0')
+            ),
+            o AS (
+              SELECT id, count(*) AS n_overlap
+              FROM (SELECT id, unnest(grams) AS gram FROM c) x
+              JOIN ev USING (gram) GROUP BY id
+            )
+            SELECT c.id, len(c.grams)::BIGINT AS n_grams,
+                   coalesce(o.n_overlap, 0)::BIGINT AS n_overlap,
+                   (coalesce(o.n_overlap, 0) >= 1)::BIGINT AS contaminated
+            FROM c LEFT JOIN o ON o.id = c.id
+        """,
+        "doc_line_dedup": """
+            WITH base AS (SELECT doc_id AS id, string_split(text, ' ') AS w
+                          FROM documents),
+            lined AS (
+              SELECT id,
+                     CASE WHEN id % 3 = 0
+                          THEN 'accept cookies to continue' || chr(10)
+                          ELSE '' END
+                     || array_to_string(list_transform(
+                          generate_series(0, (len(w) - 1) // 8),
+                          i -> array_to_string(w[i*8+1 : i*8+8], ' ')),
+                        chr(10))
+                     || CASE WHEN id % 4 = 0
+                             THEN chr(10) || 'all rights reserved'
+                             ELSE '' END AS lt
+              FROM base
+            ),
+            ln AS (
+              SELECT id,
+                     unnest(generate_series(1, len(string_split(lt, chr(10))))) AS pos,
+                     unnest(string_split(lt, chr(10))) AS line
+              FROM lined
+            ),
+            boiler AS (
+              SELECT line FROM ln GROUP BY line
+              HAVING count(DISTINCT id) >= 2
+            ),
+            k AS (
+              SELECT ln.id, ln.pos, ln.line,
+                     (b.line IS NOT NULL) AS dropped
+              FROM ln LEFT JOIN boiler b ON b.line = ln.line
+            )
+            SELECT id, count(*)::BIGINT AS n_lines,
+                   sum(CASE WHEN NOT dropped THEN 1 ELSE 0 END)::BIGINT
+                     AS n_kept,
+                   coalesce(string_agg(CASE WHEN NOT dropped THEN line END,
+                                       chr(10) ORDER BY pos), '')
+                     AS text_kept
+            FROM k GROUP BY id
+        """,
+        "doc_pii": f"""
+            WITH seeded AS (
+              SELECT doc_id AS id,
+                     text
+                     || CASE WHEN doc_id % 3 = 0
+                          THEN ' contact user' || doc_id
+                               || '@mail.example.com from 10.0.'
+                               || (doc_id % 250) || '.7'
+                          ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0
+                          THEN ' call +1 555-123-'
+                               || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                          ELSE '' END AS t
+              FROM documents
+            )
+            SELECT id,
+                   len(regexp_extract_all(t, '{_PII_EMAIL}'))::BIGINT
+                     AS n_emails,
+                   len(regexp_extract_all(t, '{_PII_IPV4}'))::BIGINT
+                     AS n_ipv4,
+                   len(regexp_extract_all(t, '{_PII_PHONE}'))::BIGINT
+                     AS n_phones,
+                   regexp_replace(regexp_replace(regexp_replace(
+                     t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                     '{_PII_IPV4}', '<IP>', 'g'),
+                     '{_PII_PHONE}', '<PHONE>', 'g') AS redacted
+            FROM seeded
+        """,
+        "doc_top_ngrams": """
+            WITH t AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS w
+                       FROM documents),
+            g AS (
+              SELECT id,
+                     unnest(list_transform(
+                       generate_series(1, greatest(len(w) - 2, 0)),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+              FROM t
+            )
+            SELECT gram, count(*)::BIGINT AS n_occurrences,
+                   count(DISTINCT id)::BIGINT AS n_docs
+            FROM g GROUP BY gram
+            ORDER BY n_occurrences DESC, gram ASC LIMIT 25
         """,
     }

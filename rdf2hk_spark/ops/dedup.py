@@ -479,3 +479,60 @@ def simhash(
         ]
     )
     return agg.select("id", sig.alias("simhash"))
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """Cross-corpus duplicate-LINE removal (the CCNet / RefinedWeb
+    boilerplate pass): a line occurring in >= ``min_docs`` DISTINCT
+    documents is boilerplate (nav bars, cookie banners, license footers)
+    and is dropped from every document; line order is otherwise preserved.
+
+    Returns (id, n_lines, n_kept, text_kept) — one row per input document,
+    ``text_kept = ''`` when every line was boilerplate.
+
+    Scale shape: posexplode lines -> groupBy(md5(line)) counting DISTINCT
+    docs (the two-level count collapses map-side to at most one row per
+    (line-hash, doc) before the shuffle) -> hash-join verdicts back ->
+    groupBy(id) reassembly over (pos, line) structs. Two keyed shuffles
+    (line hash, then doc id), no driver hop; the hash join carries a
+    16-byte key, never the line text. Hot boilerplate lines skew the hash
+    groupBy, but its payload is count-only (AQE skew split handles the
+    rest); reassembly is keyed by doc id, which is near-uniform."""
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("pos", "line"),
+    ).withColumn("h", md5s(F.col("line")))
+    boiler = (
+        lines.select("h", "id")
+        .groupBy("h")
+        .agg(F.count_distinct("id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("h", F.lit(True).alias("_drop"))
+    )
+    verdict = lines.join(boiler, "h", "left")
+    return verdict.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("_drop").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_drop").isNull(),
+                            F.struct(F.col("pos"), F.col("line")),
+                        )
+                    )
+                ),
+                lambda s: s.getField("line"),
+            ),
+            sep,
+        ).alias("text_kept"),
+    )

@@ -153,3 +153,34 @@ def repetition_stats(
         F.coalesce("top_gram_n", F.lit(0)).cast("long").alias("top_gram_n"),
         "n_words", "n_distinct_words",
     )
+
+
+def top_ngrams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 20,
+    tokenizer: str = "simple",
+) -> DataFrame:
+    """Corpus-wide top-k most frequent word n-grams: (gram, n_occurrences,
+    n_docs), ordered by occurrences desc then gram asc (a TOTAL order, so
+    the k-cut is deterministic and oracle-matchable).
+
+    Plan: explode n-grams -> ONE groupBy(gram) computing both the
+    occurrence count and the distinct-doc count (count distinct rewrites
+    to a two-phase expand+partial aggregate — still a single shuffle key)
+    -> global top-k. The final sort-limit is a TakeOrderedAndProject:
+    each partition keeps only its local top k, so the driver sees
+    k * numPartitions rows, never the gram dictionary."""
+    staged = tokens_frame(df, id_col, text_col, mode=tokenizer)
+    grams = staged.select(
+        "id", F.explode(kgrams_from_tokens(F.col("toks"), n)).alias("gram")
+    )
+    counts = grams.groupBy("gram").agg(
+        F.count("*").cast("long").alias("n_occurrences"),
+        F.count_distinct("id").cast("long").alias("n_docs"),
+    )
+    return counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("gram").asc()
+    ).limit(k)

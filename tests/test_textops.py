@@ -1,0 +1,166 @@
+"""Hand-computed unit tests for the round-5 training-data ops:
+decontamination, line-level dedup, PII redaction, corpus top-k n-grams."""
+
+import pytest
+
+from rdf2hk_spark.ops import dedup, pii, textstats
+from rdf2hk_spark.ops.decontam import decontaminate
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+class TestDecontaminate:
+    @pytest.fixture(scope="class")
+    def frames(self, spark):
+        corpus = spark.createDataFrame(
+            [
+                # exact copy of eval doc e1 → every gram overlaps
+                (1, "a b c d e f"),
+                # shares the single 4-gram "c d e f" with e1's tail
+                (2, "x y c d e f"),
+                # no overlap
+                (3, "p q r s t u"),
+                # shorter than n → zero grams, never contaminated
+                (4, "a b c"),
+            ],
+            "doc_id long, text string",
+        )
+        ev = spark.createDataFrame(
+            [(100, "a b c d e f")], "doc_id long, text string"
+        )
+        return corpus, ev
+
+    def test_overlap_counts(self, frames):
+        corpus, ev = frames
+        out = decontaminate(corpus, ev, n=4, min_overlap=1)
+        assert _rows(out, "id", "n_grams", "n_overlap", "contaminated") == [
+            (1, 3, 3, 1),
+            (2, 3, 1, 1),
+            (3, 3, 0, 0),
+            (4, 0, 0, 0),
+        ]
+
+    def test_min_overlap_threshold(self, frames):
+        corpus, ev = frames
+        out = decontaminate(corpus, ev, n=4, min_overlap=2)
+        flagged = {r["id"] for r in out.filter("contaminated = 1").collect()}
+        assert flagged == {1}
+
+    def test_duplicate_grams_count_once(self, spark):
+        # the same 2-gram repeated in BOTH corpus doc and eval set still
+        # counts once: overlap is set-intersection cardinality
+        corpus = spark.createDataFrame(
+            [(1, "a b a b a b")], "doc_id long, text string"
+        )
+        ev = spark.createDataFrame(
+            [(9, "a b a b")], "doc_id long, text string"
+        )
+        r = decontaminate(corpus, ev, n=2).collect()[0]
+        # corpus distinct 2-grams: {a b, b a}; eval: {a b, b a} → overlap 2
+        assert (r["n_grams"], r["n_overlap"]) == (2, 2)
+
+
+class TestLineDedup:
+    @pytest.fixture(scope="class")
+    def out(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "keep one\nBOILER\nkeep two"),
+                (2, "BOILER\nunique line"),
+                (3, "BOILER"),  # every line boilerplate → empty text_kept
+                (4, "solo doc"),
+                # a line repeated WITHIN one doc only is NOT boilerplate
+                (5, "twice\ntwice\nend"),
+            ],
+            "doc_id long, text string",
+        )
+        return {r["id"]: r for r in dedup.line_dedup(docs).collect()}
+
+    def test_counts_and_reassembly(self, out):
+        assert (out[1]["n_lines"], out[1]["n_kept"]) == (3, 2)
+        assert out[1]["text_kept"] == "keep one\nkeep two"
+        assert out[2]["text_kept"] == "unique line"
+
+    def test_all_boiler_doc_keeps_row_with_empty_text(self, out):
+        assert (out[3]["n_lines"], out[3]["n_kept"]) == (1, 0)
+        assert out[3]["text_kept"] == ""
+
+    def test_untouched_doc(self, out):
+        assert out[4]["text_kept"] == "solo doc"
+
+    def test_within_doc_repeat_not_boiler(self, out):
+        # min_docs counts DISTINCT documents, not occurrences
+        assert out[5]["text_kept"] == "twice\ntwice\nend"
+
+    def test_min_docs_threshold(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "x\na"), (2, "x\nb"), (3, "x\nc")],
+            "doc_id long, text string",
+        )
+        out3 = {
+            r["id"]: r["text_kept"]
+            for r in dedup.line_dedup(docs, min_docs=3).collect()
+        }
+        assert out3 == {1: "a", 2: "b", 3: "c"}
+        out4 = {
+            r["id"]: r["text_kept"]
+            for r in dedup.line_dedup(docs, min_docs=4).collect()
+        }
+        assert out4[1] == "x\na"  # threshold not reached → kept
+
+
+class TestPii:
+    def test_counts_and_redaction(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "mail a.b-c_d@ex-ample.co.uk and x@y.io end"),
+                (2, "ips 10.0.0.1 and 255.255.255.255 ok"),
+                (3, "call +1 555-123-4567 or 555-000-1111 now"),
+                (4, "clean text with no pii at all"),
+                (5, "mixed u@v.com 1.2.3.4 +44-201-555-0000"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["id"]: r for r in pii.pii_redact(docs).collect()}
+        assert (out[1]["n_emails"], out[1]["n_ipv4"], out[1]["n_phones"]) == (2, 0, 0)
+        assert out[1]["redacted"] == "mail <EMAIL> and <EMAIL> end"
+        assert out[2]["n_ipv4"] == 2
+        assert out[2]["redacted"] == "ips <IP> and <IP> ok"
+        assert out[3]["n_phones"] == 2
+        assert out[3]["redacted"] == "call <PHONE> or <PHONE> now"
+        assert (out[4]["n_emails"], out[4]["n_ipv4"], out[4]["n_phones"]) == (0, 0, 0)
+        assert out[4]["redacted"] == "clean text with no pii at all"
+        assert out[5]["redacted"] == "mixed <EMAIL> <IP> <PHONE>"
+
+    def test_version_string_not_an_ip(self, spark):
+        # \b guards: 1.2.3.4000 must not half-match as an IPv4
+        docs = spark.createDataFrame(
+            [(1, "version 1.2.3.4000 shipped")], "doc_id long, text string"
+        )
+        r = pii.pii_stats(docs).collect()[0]
+        assert r["n_ipv4"] == 0
+
+
+class TestTopNgrams:
+    def test_counts_and_tiebreak(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c a b c"),   # "a b c" x2, "b c a" x1, "c a b" x1
+                (2, "a b c"),          # "a b c" x1
+                (3, "z z z z"),        # "z z z" x2
+            ],
+            "doc_id long, text string",
+        )
+        out = textstats.top_ngrams(docs, n=3, k=3).collect()
+        got = [(r["gram"], r["n_occurrences"], r["n_docs"]) for r in out]
+        # order: count desc, gram asc — "a b c"(3) > "z z z"(2) > "b c a"(1)
+        assert got == [("a b c", 3, 2), ("z z z", 2, 1), ("b c a", 1, 1)]
+
+    def test_k_cut_is_deterministic_under_ties(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "q w e"), (2, "a s d")], "doc_id long, text string"
+        )
+        out = textstats.top_ngrams(docs, n=3, k=1).collect()
+        assert [r["gram"] for r in out] == ["a s d"]  # tie → gram asc
