@@ -873,6 +873,25 @@ def q_kg_sparql_exists(spark, sf_dir):
     )
 
 
+def q_kg_sparql_having_exists(spark, sf_dir):
+    """[NOT] EXISTS inside a HAVING boolean: per-nation customer counts,
+    kept only when the group key also has a supplier and none of its
+    suppliers' ids end in 3 — each existence test becomes a boolean marker
+    column over the GROUPED frame (plans.sparql._exists_marker), so EXISTS
+    composes with the aggregate comparison like any other boolean."""
+    from rdf2hk_spark.plans.sparql import run_sparql
+
+    return run_sparql(
+        tpch_kg.quads_df(spark, sf_dir),
+        "SELECT ?n (COUNT(?c) AS ?cnt) WHERE {"
+        " ?c <urn:hk:p/inNation> ?n } GROUP BY ?n"
+        " HAVING ( ?cnt >= 2"
+        " && EXISTS { ?s <urn:hk:p/fromNation> ?n }"
+        " && NOT EXISTS { ?s2 <urn:hk:p/fromNation> ?n ."
+        ' FILTER(REGEX(?s2, "3>$")) } )',
+    )
+
+
 def q_kg_sparql_minus(spark, sf_dir):
     """MINUS (§18.5 minus-compatibility over the shared ?n domain): typed
     nations minus those in region 1. The disjoint-domain divergence from
@@ -1228,6 +1247,182 @@ def q_doc_top_ngrams(spark, sf_dir):
     return textstats.top_ngrams(_docs(spark, sf_dir), n=3, k=25)
 
 
+# the shared passage seeded for window dedup — 13 tokens, lowercase, so
+# every 7th doc carries 6 cross-doc-duplicated 8-token windows (plus the
+# boundary-straddling windows, which differ per doc and must NOT count)
+_WINSEED = (
+    " copyright notice all rights reserved contact the site"
+    " admin team for removal requests"
+)
+
+
+def _winseed_docs(spark, sf_dir):
+    """documents with the shared _WINSEED passage appended to every 7th
+    doc (both engines derive it identically) — real cross-document
+    duplicated PASSAGES for the substring-window dedup to find (the
+    synthetic corpus alone has few natural aligned 8-grams)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(_WINSEED)).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+
+
+def q_doc_window_dedup(spark, sf_dir):
+    """Exact substring-window dedup (Lee et al. ExactSubstr, window-hash
+    form): 8-token windows hashed; a window seen in >= 2 DISTINCT docs is
+    duplicated text; per-doc duplicated-window occurrence counts + ratio.
+    Two keyed shuffles (window hash with map-side within-doc dedup, then
+    doc id) — ops.dedup.window_dedup."""
+    return dedup.window_dedup(_winseed_docs(spark, sf_dir), k=8, min_docs=2)
+
+
+def _c4_lined_docs(spark, sf_dir):
+    """documents re-chunked into 8-token lines with deterministic
+    terminal punctuation (line i gets '.' when i%3==0, '!' when i%3==1,
+    nothing otherwise), a javascript/cookie banner line prepended to
+    every 4th doc and a too-short 'ok.' line appended to every 5th — one
+    seeded victim per C4 line rule, identical on both engines."""
+    d = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("w"))
+    lined = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.floor((F.size("w") - 1) / 8).cast("int")),
+            lambda i: F.concat(
+                F.array_join(F.slice("w", i * 8 + 1, 8), " "),
+                F.when(i % 3 == 0, F.lit("."))
+                .when(i % 3 == 1, F.lit("!"))
+                .otherwise(F.lit("")),
+            ),
+        ),
+        "\n",
+    )
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit("please enable javascript and accept cookies.\n"),
+            ).otherwise(F.lit("")),
+            lined,
+            F.when(F.col("doc_id") % 5 == 0, F.lit("\nok.")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+
+
+def q_doc_c4_lines(spark, sf_dir):
+    """C4 line filter: keep lines ending in terminal punctuation with >= 5
+    words and no javascript/cookie mention; reassemble survivors in order.
+    Pure per-row array HOFs — zero shuffles (ops.c4.c4_line_filter)."""
+    from rdf2hk_spark.ops import c4
+
+    return c4.c4_line_filter(_c4_lined_docs(spark, sf_dir), min_words=5)
+
+
+def _c4doc_docs(spark, sf_dir):
+    """documents with deterministic page-level C4 tripwires: doc_id%6
+    sentence terminators appended, a curly-brace code fragment for every
+    11th doc, a lorem-ipsum fragment for every 13th."""
+    did = F.col("doc_id")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.repeat(F.lit("."), (did % 6).cast("int")),
+            F.when(did % 11 == 0, F.lit(" { function()")).otherwise(F.lit("")),
+            F.when(did % 13 == 0, F.lit(" lorem ipsum dolor")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+
+
+def q_doc_c4_filter(spark, sf_dir):
+    """C4 page filter: sentence-count / word-band / brace / lorem-ipsum
+    verdicts as BIGINT flags + final keep. Pure scan-speed Column exprs,
+    zero shuffles (ops.c4.c4_doc_filter)."""
+    from rdf2hk_spark.ops import c4
+
+    return c4.c4_doc_filter(
+        _c4doc_docs(spark, sf_dir), min_sentences=3, min_words=5
+    )
+
+
+def _url_docs(spark, sf_dir):
+    """documents with deterministic synthetic URLs: scheme alternates,
+    every 9th has userinfo@, every 5th a www. prefix, host h{id%17} under
+    registrable domain site{id%7}.com, every 9th+1 a port, every 3rd a
+    query string — and every 19th doc gets a NON-URL string (host
+    extraction must yield '' for it). Both engines derive it identically."""
+    did = F.col("doc_id")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        "text",
+        "lang",
+        F.when(did % 19 == 0, F.lit("not a url")).otherwise(
+            F.concat(
+                F.when(did % 2 == 0, F.lit("https://")).otherwise(
+                    F.lit("http://")
+                ),
+                F.when(did % 9 == 0, F.lit("user:pw@")).otherwise(F.lit("")),
+                F.when(did % 5 == 0, F.lit("www.")).otherwise(F.lit("")),
+                F.lit("h"),
+                (did % 17).cast("string"),
+                F.lit(".site"),
+                (did % 7).cast("string"),
+                F.lit(".com"),
+                F.when(did % 9 == 1, F.lit(":8080")).otherwise(F.lit("")),
+                F.lit("/p/"),
+                did.cast("string"),
+                F.when(did % 3 == 0, F.lit("?ref=rss")).otherwise(F.lit("")),
+            )
+        ).alias("url"),
+    )
+
+
+def q_doc_domain_stats(spark, sf_dir):
+    """Per-registrable-domain rollup over synthetic URLs (host via
+    portable regex, domain = last two labels): n_docs / n_hosts / n_langs
+    / sum_chars / mean_chars_x100. One counters-only groupBy shuffle
+    (ops.webstats.domain_stats)."""
+    from rdf2hk_spark.ops import webstats
+
+    return webstats.domain_stats(_url_docs(spark, sf_dir))
+
+
+# per-source training-mixture keep rates (per-mille); unlisted fall back
+_MIX_RATES = {
+    "src0": 1000,
+    "src1": 500,
+    "src2": 500,
+    "src3": 250,
+    "src4": 250,
+    "src5": 125,
+}
+_MIX_DEFAULT = 100
+
+
+def q_doc_mixture_sample(spark, sf_dir):
+    """Deterministic hash-based training-mixture sampling: keep each doc
+    iff md5(doc_id) per-mille draw < its source's rate — rerun/retry/
+    engine-stable (no RNG), compiled to a pushed-down scan predicate
+    (ops.sampling.mixture_sample)."""
+    from rdf2hk_spark.ops import sampling
+
+    return sampling.mixture_sample(
+        _docs(spark, sf_dir).select("doc_id", "source"),
+        _MIX_RATES,
+        key_col="doc_id",
+        stratum_col="source",
+        default_x1000=_MIX_DEFAULT,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_connectors": q_kg_connectors,
@@ -1273,6 +1468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_seq": q_kg_sparql_seq,
         "kg_sparql_agg": q_kg_sparql_agg,
         "kg_sparql_exists": q_kg_sparql_exists,
+        "kg_sparql_having_exists": q_kg_sparql_having_exists,
         "kg_sparql_minus": q_kg_sparql_minus,
         "kg_sparql_bind": q_kg_sparql_bind,
         "kg_sparql_bind_agg": q_kg_sparql_bind_agg,
@@ -1297,6 +1493,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_line_dedup": q_doc_line_dedup,
         "doc_pii": q_doc_pii,
         "doc_top_ngrams": q_doc_top_ngrams,
+        "doc_window_dedup": q_doc_window_dedup,
+        "doc_c4_lines": q_doc_c4_lines,
+        "doc_c4_filter": q_doc_c4_filter,
+        "doc_domain_stats": q_doc_domain_stats,
+        "doc_mixture_sample": q_doc_mixture_sample,
     }
 
 
@@ -1316,6 +1517,24 @@ from rdf2hk_spark.ops.pii import (  # noqa: E402
     IPV4_RE as _PII_IPV4,
     PHONE_RE as _PII_PHONE,
 )
+from rdf2hk_spark.ops.c4 import (  # noqa: E402
+    LINE_BAD_RE as _C4_BAD,
+    TERMINAL_RE as _C4_TERM,
+)
+from rdf2hk_spark.ops.hashing import md5_int_sql as _md5_int_sql  # noqa: E402
+from rdf2hk_spark.ops.webstats import HOST_RE as _HOST_RE  # noqa: E402
+
+# SQL-escaped regexes for the C4 oracles (the terminal rule contains a ')
+_C4_TERM_SQL = _C4_TERM.replace("'", "''")
+_C4_BAD_SQL = _C4_BAD.replace("'", "''")
+# per-source mixture keep-rate as a CASE literal (same constants as the
+# engine's when-chain) and the engine's exact per-mille hash draw
+_MIX_CASE_SQL = (
+    "CASE source "
+    + " ".join(f"WHEN '{s}' THEN {r}" for s, r in sorted(_MIX_RATES.items()))
+    + f" ELSE {_MIX_DEFAULT} END"
+)
+_MIX_DRAW_SQL = _md5_int_sql("doc_id::VARCHAR", 6) + " % 1000"
 _ESC_G = tpch_kg.ESC.format(x="l.g")
 _ESC_S = tpch_kg.ESC.format(x="l.s")
 
@@ -1714,6 +1933,21 @@ def oracle_sql() -> dict[str, str]:
                               WHERE s2.p = '<urn:hk:p/fromNation>'
                                 AND s2.o = k.s
                                 AND regexp_matches(s2.s, '7>$'))
+        """,
+        "kg_sparql_having_exists": f"""
+            WITH {_Q}
+            SELECT c.o AS n, count(*)::BIGINT AS cnt
+            FROM quads c
+            WHERE c.p = '<urn:hk:p/inNation>'
+            GROUP BY c.o
+            HAVING count(*) >= 2
+               AND EXISTS (SELECT 1 FROM quads s
+                           WHERE s.p = '<urn:hk:p/fromNation>'
+                             AND s.o = c.o)
+               AND NOT EXISTS (SELECT 1 FROM quads s2
+                               WHERE s2.p = '<urn:hk:p/fromNation>'
+                                 AND s2.o = c.o
+                                 AND regexp_matches(s2.s, '3>$'))
         """,
         "kg_sparql_minus": f"""
             WITH {_Q}
@@ -2594,5 +2828,143 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT id)::BIGINT AS n_docs
             FROM g GROUP BY gram
             ORDER BY n_occurrences DESC, gram ASC LIMIT 25
+        """,
+        "doc_window_dedup": f"""
+            WITH base AS (
+              SELECT doc_id AS id,
+                     lower(text || CASE WHEN doc_id % 7 = 0
+                                        THEN '{_WINSEED}' ELSE '' END) AS t
+              FROM documents
+            ),
+            tok AS (SELECT id, string_split(t, ' ') AS w FROM base),
+            wins AS (
+              SELECT id,
+                     unnest(list_transform(
+                       generate_series(1, greatest(len(w) - 7, 0)),
+                       i -> {_GRAM8})) AS win
+              FROM tok
+            ),
+            shared AS (
+              SELECT win FROM (SELECT DISTINCT id, win FROM wins) d
+              GROUP BY win HAVING count(*) >= 2
+            ),
+            cnt AS (
+              SELECT w.id, count(*) AS nw,
+                     sum(CASE WHEN s.win IS NOT NULL THEN 1 ELSE 0 END) AS nd
+              FROM wins w LEFT JOIN shared s USING (win) GROUP BY w.id
+            )
+            SELECT t.id,
+                   coalesce(c.nw, 0)::BIGINT AS n_windows,
+                   coalesce(c.nd, 0)::BIGINT AS n_dup_windows,
+                   (CASE WHEN coalesce(c.nw, 0) = 0 THEN 0
+                         ELSE floor(coalesce(c.nd, 0) * 1000.0 / c.nw)
+                    END)::BIGINT AS dup_ratio_x1000
+            FROM tok t LEFT JOIN cnt c ON c.id = t.id
+        """,
+        "doc_c4_lines": f"""
+            WITH base AS (SELECT doc_id AS id, string_split(text, ' ') AS w
+                          FROM documents),
+            lined AS (
+              SELECT id,
+                     CASE WHEN id % 4 = 0
+                          THEN 'please enable javascript and accept cookies.'
+                               || chr(10)
+                          ELSE '' END
+                     || array_to_string(list_transform(
+                          generate_series(0, (len(w) - 1) // 8),
+                          i -> array_to_string(w[i*8+1 : i*8+8], ' ')
+                               || CASE WHEN i % 3 = 0 THEN '.'
+                                       WHEN i % 3 = 1 THEN '!'
+                                       ELSE '' END),
+                        chr(10))
+                     || CASE WHEN id % 5 = 0 THEN chr(10) || 'ok.'
+                             ELSE '' END AS lt
+              FROM base
+            ),
+            ln AS (
+              SELECT id,
+                     unnest(generate_series(1, len(string_split(lt, chr(10))))) AS pos,
+                     unnest(string_split(lt, chr(10))) AS line
+              FROM lined
+            ),
+            k AS (
+              SELECT id, pos, line,
+                     (regexp_matches(line, '{_C4_TERM_SQL}')
+                      AND len(string_split(line, ' ')) >= 5
+                      AND NOT regexp_matches(line, '{_C4_BAD_SQL}')) AS keep
+              FROM ln
+            )
+            SELECT id, count(*)::BIGINT AS n_lines,
+                   sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+                   coalesce(string_agg(CASE WHEN keep THEN line END,
+                                       chr(10) ORDER BY pos), '') AS text_kept
+            FROM k GROUP BY id
+        """,
+        "doc_c4_filter": """
+            WITH seeded AS (
+              SELECT doc_id AS id,
+                     text || repeat('.', (doc_id % 6)::INT)
+                     || CASE WHEN doc_id % 11 = 0
+                             THEN ' { function()' ELSE '' END
+                     || CASE WHEN doc_id % 13 = 0
+                             THEN ' lorem ipsum dolor' ELSE '' END AS t
+              FROM documents
+            )
+            SELECT id,
+                   len(string_split(t, ' '))::BIGINT AS n_words,
+                   len(regexp_extract_all(t, '[.!?]'))::BIGINT AS n_sentences,
+                   contains(t, '{')::BIGINT AS has_brace,
+                   contains(lower(t), 'lorem ipsum')::BIGINT AS has_lorem,
+                   (len(regexp_extract_all(t, '[.!?]')) >= 3
+                    AND len(string_split(t, ' ')) >= 5
+                    AND len(string_split(t, ' ')) <= 50000
+                    AND NOT contains(t, '{')
+                    AND NOT contains(lower(t), 'lorem ipsum'))::BIGINT AS keep
+            FROM seeded
+        """,
+        "doc_domain_stats": f"""
+            WITH u AS (
+              SELECT doc_id, text, lang,
+                     CASE WHEN doc_id % 19 = 0 THEN 'not a url' ELSE
+                       (CASE WHEN doc_id % 2 = 0 THEN 'https://'
+                             ELSE 'http://' END)
+                       || (CASE WHEN doc_id % 9 = 0 THEN 'user:pw@'
+                                ELSE '' END)
+                       || (CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END)
+                       || 'h' || (doc_id % 17) || '.site' || (doc_id % 7)
+                       || '.com'
+                       || (CASE WHEN doc_id % 9 = 1 THEN ':8080' ELSE '' END)
+                       || '/p/' || doc_id
+                       || (CASE WHEN doc_id % 3 = 0 THEN '?ref=rss'
+                                ELSE '' END)
+                     END AS url
+              FROM documents
+            ),
+            h AS (
+              SELECT lower(regexp_extract(url, '{_HOST_RE}', 1)) AS host,
+                     length(text)::BIGINT AS chars, lang
+              FROM u
+            ),
+            p AS (
+              SELECT string_split(host, '.') AS parts, host, chars, lang
+              FROM h
+            ),
+            d AS (
+              SELECT CASE WHEN len(parts) <= 2 THEN host
+                          ELSE parts[len(parts)-1] || '.' || parts[len(parts)]
+                     END AS domain, host, chars, lang
+              FROM p
+            )
+            SELECT domain, count(*)::BIGINT AS n_docs,
+                   count(DISTINCT host)::BIGINT AS n_hosts,
+                   count(DISTINCT lang)::BIGINT AS n_langs,
+                   sum(chars)::BIGINT AS sum_chars,
+                   floor(sum(chars) * 100.0 / count(*))::BIGINT
+                     AS mean_chars_x100
+            FROM d GROUP BY domain
+        """,
+        "doc_mixture_sample": f"""
+            SELECT doc_id, source FROM documents
+            WHERE {_MIX_DRAW_SQL} < {_MIX_CASE_SQL}
         """,
     }

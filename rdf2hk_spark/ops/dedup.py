@@ -536,3 +536,83 @@ def line_dedup(
             sep,
         ).alias("text_kept"),
     )
+
+
+def window_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+    tokenizer: str = "simple",
+) -> DataFrame:
+    """Exact substring-window dedup (the Lee-et-al. "Deduplicating Training
+    Data" pass, window-hash formulation): every k-TOKEN window of every
+    document is hashed; a window whose hash occurs in >= ``min_docs``
+    DISTINCT documents is duplicated text. Per document this reports how
+    much of it is made of such cross-corpus windows.
+
+    Returns (id, n_windows, n_dup_windows, dup_ratio_x1000) — one row per
+    input document (docs shorter than k tokens report 0/0/0):
+
+    - ``n_windows``      total k-token windows (with multiplicity);
+    - ``n_dup_windows``  window OCCURRENCES whose hash appears in >=
+      ``min_docs`` distinct docs (a window repeated within one doc only
+      does NOT count — the duplication must be cross-document);
+    - ``dup_ratio_x1000`` floor(n_dup_windows * 1000 / n_windows), 0 for
+      empty docs (integer-exact so the DuckDB oracle hashes bit-equal).
+
+    Scale shape (10^12 docs): windows stage from ONE tokens projection
+    (BENCH.md §9); the cross-doc occurrence count shuffles at most one row
+    per (window-hash, doc) — the map-side distinct collapses within-doc
+    repeats before the shuffle, so viral boilerplate costs one row per doc
+    that carries it, not one per occurrence. Verdicts hash-join back on the
+    16-byte window hash (never the window text) and the per-doc rollup is
+    keyed by near-uniform doc id. Two keyed shuffles total, no all-pairs
+    product, no driver hop — the same economics as ``line_dedup`` but at
+    token-window granularity, which catches duplicated PASSAGES that line
+    splitting misses (reflowed text, concatenated boilerplate).
+
+    Reference parity note: no reference counterpart (the reference is a
+    KG converter); this is a first-class training-data op mandated by the
+    round brief, modeled on arXiv:2107.06499 §4.1 (ExactSubstr).
+    """
+    staged = tokens.tokens_frame(df, id_col, text_col, mode=tokenizer)
+    wins = staged.select(
+        "id",
+        F.explode(
+            tokens.kgrams_from_tokens(F.col("toks"), k)
+        ).alias("win"),
+    ).select("id", md5s(F.col("win")).alias("h"))
+    # one row per (hash, doc) BEFORE the shuffle; count distinct docs
+    shared = (
+        wins.dropDuplicates(["h", "id"])
+        .groupBy("h")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("h", F.lit(True).alias("_dup"))
+    )
+    per_occ = wins.join(shared, "h", "left")
+    counts = per_occ.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_windows"),
+        F.sum(F.when(F.col("_dup").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_windows"),
+    )
+    # restore short docs (< k tokens -> zero windows -> lost by explode)
+    base = staged.select("id")
+    return base.join(counts, "id", "left").select(
+        "id",
+        F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+        F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+        F.when(
+            F.coalesce("n_windows", F.lit(0)) == 0, F.lit(0).cast("long")
+        )
+        .otherwise(
+            F.floor(
+                F.coalesce("n_dup_windows", F.lit(0)) * 1000.0
+                / F.col("n_windows")
+            ).cast("long")
+        )
+        .alias("dup_ratio_x1000"),
+    )

@@ -79,7 +79,8 @@ algebra and compiles to a DataFrame plan:
   side's literal value).
 
 Subset contract: SELECT / ASK / DESCRIBE / CONSTRUCT queries over the forms
-above. Anything else (EXISTS inside IF/HAVING/BIND value positions, a
+above ([NOT] EXISTS is accepted in FILTER and HAVING boolean expressions).
+Anything else (EXISTS inside IF/BIND value positions, a
 subquery under GRAPH ?var, property paths under GRAPH ?var) raises
 ``SparqlSyntaxError`` — never a silently wrong answer.
 DESCRIBE-style fetches also exist as ``plans.query.from_uris``; programmatic
@@ -1168,8 +1169,8 @@ def _compile_expr(
         return F.coalesce(F.col(e.args[0]), F.lit(False))
     if e.op == "exists":
         raise SparqlSyntaxError(
-            "[NOT] EXISTS is only supported inside a FILTER boolean"
-            " expression (not in IF conditions, HAVING, or BIND)"
+            "[NOT] EXISTS is only supported inside FILTER or HAVING boolean"
+            " expressions (not in IF conditions or BIND value positions)"
         )
     if e.op == "regex":
         col, _ = _operand_col(e.args[0], frame_cols)
@@ -2271,10 +2272,24 @@ def _expr_vars(e: Expr) -> set[str]:
     return out
 
 
-def _compile_aggregate(frame: DataFrame, q: Query) -> DataFrame:
+def _compile_aggregate(
+    frame: DataFrame,
+    q: Query,
+    quads: DataFrame | None = None,
+    spark=None,
+    maybe_null: set[str] = frozenset(),
+    graph_var: str | None = None,
+) -> DataFrame:
     """GROUP BY / aggregate projection: one groupBy().agg() — Spark's
     partial (map-side) aggregation applies automatically, so a COUNT over
-    10^12 rows shuffles one partial row per (partition, group)."""
+    10^12 rows shuffles one partial row per (partition, group).
+
+    ``quads``/``spark`` carry the dataset context so a HAVING expression
+    may embed ``[NOT] EXISTS { ... }``: each existence test compiles to a
+    boolean marker column over the GROUPED frame (_exists_marker — the
+    inner pattern correlates on shared column names, i.e. group keys and,
+    if the inner pattern happens to use them, aggregate aliases), the
+    rewritten HAVING filters over the markers, and the markers drop out."""
     cols = set(frame.columns)
     plain = [name for kind, name in q.select_items if kind == "var"]
     aggs = [item for kind, item in q.select_items if kind == "agg"]
@@ -2322,13 +2337,43 @@ def _compile_aggregate(frame: DataFrame, q: Query) -> DataFrame:
     if q.having is not None:
         # HAVING scope: group keys + aggregate aliases, BEFORE projection;
         # alias columns are already numeric — no term-string decode
-        grouped = grouped.filter(
-            _compile_expr(
-                q.having,
-                set(grouped.columns),
-                numeric_cols=_numeric_dtype_cols(grouped),
+        found: list = []
+        new_having = _extract_exists(q.having, found)
+        if found:
+            if quads is None:
+                raise SparqlSyntaxError(
+                    "EXISTS in HAVING needs a dataset context"
+                )
+            # nullability for the marker join: OPTIONAL-born group keys
+            # plus non-COUNT aggregate aliases (null on all-null groups)
+            having_mn = (maybe_null & set(q.group_by)) | {
+                a.alias for a in aggs if a.func != "COUNT"
+            }
+            keep = list(grouped.columns)
+            for name, grp in found:
+                inner, inner_mn = _compile_group_mn(
+                    quads, spark, grp, graph_var
+                )
+                if inner is None:
+                    raise SparqlSyntaxError("empty EXISTS group")
+                grouped = _exists_marker(
+                    grouped, inner, name, having_mn | inner_mn
+                )
+            grouped = grouped.filter(
+                _compile_expr(
+                    new_having,
+                    set(grouped.columns),
+                    numeric_cols=_numeric_dtype_cols(grouped),
+                )
+            ).select(*keep)
+        else:
+            grouped = grouped.filter(
+                _compile_expr(
+                    q.having,
+                    set(grouped.columns),
+                    numeric_cols=_numeric_dtype_cols(grouped),
+                )
             )
-        )
     gcols = set(grouped.columns)
     gnum = _numeric_dtype_cols(grouped)
     projection = []
@@ -2506,7 +2551,7 @@ def _compile_select_mn(
     if not frame.columns:
         raise SparqlSyntaxError("WHERE binds no variables")
     if q.group_by or any(kind == "agg" for kind, _ in q.select_items):
-        out = _compile_aggregate(frame, q)
+        out = _compile_aggregate(frame, q, quads=base, spark=spark, maybe_null=mn)
         out_mn = set()
         for kind, item in q.select_items:
             if kind == "var" and item in mn:

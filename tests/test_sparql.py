@@ -947,6 +947,60 @@ class TestExistsMinusBind:
             ("<http://e/x>", None),
         ]
 
+    def test_having_exists_on_group_key(self, quads):
+        # groups: a,b,x (each knows 1); only a and b have names
+        out = run_sparql(
+            quads,
+            "SELECT ?x (COUNT(?y) AS ?cnt) WHERE"
+            " { ?x <http://p/knows> ?y } GROUP BY ?x"
+            " HAVING ( EXISTS { ?x <http://p/name> ?n } )",
+        )
+        assert rows(out) == [("<http://e/a>", 1), ("<http://e/b>", 1)]
+
+    def test_having_not_exists_on_group_key(self, quads):
+        out = run_sparql(
+            quads,
+            "SELECT ?x (COUNT(?y) AS ?cnt) WHERE"
+            " { ?x <http://p/knows> ?y } GROUP BY ?x"
+            " HAVING ( NOT EXISTS { ?x <http://p/name> ?n } )",
+        )
+        assert rows(out) == [("<http://e/x>", 1)]
+
+    def test_having_exists_composed_with_agg_comparison(self, quads):
+        # known-by-someone: b, c, y — so the never-known group keys are a, x
+        out = run_sparql(
+            quads,
+            "SELECT ?x (COUNT(?y) AS ?cnt) WHERE"
+            " { ?x <http://p/knows> ?y } GROUP BY ?x"
+            " HAVING ( ?cnt >= 1 && NOT EXISTS { ?z <http://p/knows> ?x } )",
+        )
+        assert rows(out) == [("<http://e/a>", 1), ("<http://e/x>", 1)]
+
+    def test_having_exists_uncorrelated(self, quads):
+        # inner shares no variable: keeps all groups iff it matches at all
+        hit = run_sparql(
+            quads,
+            "SELECT ?x (COUNT(?y) AS ?cnt) WHERE"
+            " { ?x <http://p/knows> ?y } GROUP BY ?x"
+            " HAVING ( EXISTS { ?a <http://p/name> ?b } )",
+        )
+        assert len(rows(hit)) == 3
+        miss = run_sparql(
+            quads,
+            "SELECT ?x (COUNT(?y) AS ?cnt) WHERE"
+            " { ?x <http://p/knows> ?y } GROUP BY ?x"
+            " HAVING ( EXISTS { ?a <http://p/nope> ?b } )",
+        )
+        assert rows(miss) == []
+
+    def test_exists_in_bind_still_rejected(self, quads):
+        with pytest.raises(SparqlSyntaxError):
+            run_sparql(
+                quads,
+                "SELECT ?x WHERE { ?x <http://p/name> ?n ."
+                " BIND(IF(EXISTS { ?x <http://p/knows> ?y }, 1, 0) AS ?v) }",
+            )
+
     def test_minus_shared_domain(self, quads):
         out = run_sparql(
             quads,
