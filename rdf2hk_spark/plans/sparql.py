@@ -79,8 +79,10 @@ algebra and compiles to a DataFrame plan:
   side's literal value).
 
 Subset contract: SELECT / ASK / DESCRIBE / CONSTRUCT queries over the forms
-above ([NOT] EXISTS is accepted in FILTER and HAVING boolean expressions).
-Anything else (EXISTS inside IF/BIND value positions, a
+above ([NOT] EXISTS composes everywhere a boolean or value can appear:
+FILTER and HAVING boolean expressions, BIND values and SELECT expression
+projections — bare EXISTS materializes an xsd:boolean term). Anything
+else (a
 subquery under GRAPH ?var, property paths under GRAPH ?var) raises
 ``SparqlSyntaxError`` — never a silently wrong answer.
 DESCRIBE-style fetches also exist as ``plans.query.from_uris``; programmatic
@@ -849,6 +851,21 @@ class _Parser:
             self.expect("punct", ")")
             self.depth -= 1
             return e
+        if k == "word" and (
+            v.upper() == "EXISTS"
+            or (
+                v.upper() == "NOT"
+                and self._peek2()[0] == "word"
+                and self._peek2()[1].upper() == "EXISTS"
+            )
+        ):
+            # bare [NOT] EXISTS as a VALUE (``BIND(EXISTS {..} AS ?v)``)
+            # — materializes as an xsd:boolean term after marker hoisting
+            neg = v.upper() == "NOT"
+            self.next()
+            if neg:
+                self.next()
+            return Expr("exists", [self.group(), not neg])
         if k == "word" and v.upper() in self._VALUE_FUNCS:
             fname = self.next()[1].upper()
             self.expect("punct", "(")
@@ -1168,9 +1185,10 @@ def _compile_expr(
         # means the probe found no match — boolean False
         return F.coalesce(F.col(e.args[0]), F.lit(False))
     if e.op == "exists":
+        # defensive: every syntactic EXISTS position (FILTER, HAVING,
+        # BIND, SELECT expressions) hoists to markers before compiling
         raise SparqlSyntaxError(
-            "[NOT] EXISTS is only supported inside FILTER or HAVING boolean"
-            " expressions (not in IF conditions or BIND value positions)"
+            "[NOT] EXISTS reached the expression compiler un-hoisted"
         )
     if e.op == "regex":
         col, _ = _operand_col(e.args[0], frame_cols)
@@ -1308,6 +1326,15 @@ def _compile_value(
     if _depth > _MAX_DEPTH:
         raise SparqlSyntaxError(f"expression deeper than {_MAX_DEPTH}")
     d = _depth + 1
+    if e.op in ("marker", "not"):
+        # a hoisted [NOT] EXISTS used as a VALUE (``BIND(EXISTS {..} AS
+        # ?v)``): the precomputed marker column materializes as an
+        # xsd:boolean term, SPARQL's effective-boolean-value domain
+        cond = _compile_expr(e, frame_cols, d, numeric_cols)
+        return (
+            F.when(cond, F.lit(_TRUE_TERM)).otherwise(F.lit(_FALSE_TERM)),
+            "term",
+        )
     if e.op == "val":
         kind, v = e.args[0]
         if kind == "var":
@@ -1448,6 +1475,8 @@ def _compile_value(
 
 _XSD_STRING = "<http://www.w3.org/2001/XMLSchema#string>"
 _RDF_LANGSTRING = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#langString>"
+_TRUE_TERM = '"true"^^<http://www.w3.org/2001/XMLSchema#boolean>'
+_FALSE_TERM = '"false"^^<http://www.w3.org/2001/XMLSchema#boolean>'
 
 
 def _value_as_term_or_num(
@@ -2053,10 +2082,29 @@ def _compile_group_mn(
             if frame is None:
                 # BIND over the empty group: ONE empty solution, extended
                 frame = spark.range(1).select()
+            found: list = []
+            bind_expr = _extract_exists(item.expr, found)
+            if found:
+                # [NOT] EXISTS embedded in the BIND value (bare, or as an
+                # IF condition): precompute each as a boolean marker over
+                # the current frame, evaluate the rewritten expression,
+                # then drop the markers — same composition rule as FILTER
+                keep_cols = list(frame.columns)
+                for name, grp in found:
+                    inner, inner_mn = _compile_group_mn(
+                        quads, spark, grp, graph_var
+                    )
+                    if inner is None:
+                        raise SparqlSyntaxError("empty EXISTS group")
+                    frame = _exists_marker(
+                        frame, inner, name, maybe_null | inner_mn
+                    )
             col, _ = _value_as_term_or_num(
-                item.expr, set(frame.columns), _numeric_dtype_cols(frame)
+                bind_expr, set(frame.columns), _numeric_dtype_cols(frame)
             )
             frame = frame.withColumn(item.var, col)
+            if found:
+                frame = frame.select(*keep_cols, item.var)
             # expression errors surface as null ⇒ the var may be unbound
             maybe_null.add(item.var)
         elif isinstance(item, MultiValues):
@@ -2374,10 +2422,35 @@ def _compile_aggregate(
                     numeric_cols=_numeric_dtype_cols(grouped),
                 )
             )
+    # hoist [NOT] EXISTS embedded in grouped expression projections to
+    # marker columns over the GROUPED frame (the final select drops them)
+    ex_found: list = []
+    sel_items = [
+        (kind, (_extract_exists(item[0], ex_found), item[1]))
+        if kind == "expr"
+        else (kind, item)
+        for kind, item in q.select_items
+    ]
+    for name, grp in ex_found:
+        if quads is None:
+            raise SparqlSyntaxError(
+                "EXISTS in a SELECT expression needs a dataset context"
+            )
+        inner, inner_mn = _compile_group_mn(quads, spark, grp, graph_var)
+        if inner is None:
+            raise SparqlSyntaxError("empty EXISTS group")
+        grouped = _exists_marker(
+            grouped,
+            inner,
+            name,
+            (maybe_null & set(q.group_by))
+            | {a.alias for a in aggs if a.func != "COUNT"}
+            | inner_mn,
+        )
     gcols = set(grouped.columns)
     gnum = _numeric_dtype_cols(grouped)
     projection = []
-    for kind, item in q.select_items:
+    for kind, item in sel_items:
         if kind == "var":
             projection.append(F.col(item))
         elif kind == "agg":
@@ -2566,10 +2639,25 @@ def _compile_select_mn(
         if q.having is not None:
             raise SparqlSyntaxError("HAVING requires GROUP BY or aggregates")
         if any(kind == "expr" for kind, _ in q.select_items):
+            # hoist [NOT] EXISTS embedded in expression projections to
+            # boolean marker columns first (same rule as FILTER/BIND); the
+            # final select projects only the aliases, dropping the markers
+            ex_found: list = []
+            sel_items = [
+                (kind, (_extract_exists(item[0], ex_found), item[1]))
+                if kind == "expr"
+                else (kind, item)
+                for kind, item in q.select_items
+            ]
+            for name, grp in ex_found:
+                inner, inner_mn = _compile_group_mn(base, spark, grp)
+                if inner is None:
+                    raise SparqlSyntaxError("empty EXISTS group")
+                frame = _exists_marker(frame, inner, name, mn | inner_mn)
             cols = set(frame.columns)
             numeric = _numeric_dtype_cols(frame)
             projection, seen = [], set()
-            for kind, item in q.select_items:
+            for kind, item in sel_items:
                 if kind == "var":
                     if item not in cols:
                         raise SparqlSyntaxError(

@@ -993,13 +993,70 @@ class TestExistsMinusBind:
         )
         assert rows(miss) == []
 
-    def test_exists_in_bind_still_rejected(self, quads):
-        with pytest.raises(SparqlSyntaxError):
-            run_sparql(
-                quads,
-                "SELECT ?x WHERE { ?x <http://p/name> ?n ."
-                " BIND(IF(EXISTS { ?x <http://p/knows> ?y }, 1, 0) AS ?v) }",
-            )
+    def test_exists_in_bind_if_condition(self, quads):
+        # names exist for a and b; only a and b (not c) KNOW someone...
+        # actually a, b, x know someone; a and b have names
+        out = run_sparql(
+            quads,
+            "SELECT ?x ?v WHERE { ?x <http://p/name> ?n ."
+            " BIND(IF(EXISTS { ?x <http://p/knows> ?y }, 1, 0) AS ?v) }",
+        )
+        assert rows(out) == [("<http://e/a>", 1.0), ("<http://e/b>", 1.0)]
+
+    def test_exists_bare_in_bind_yields_boolean_terms(self, quads):
+        out = run_sparql(
+            quads,
+            "SELECT ?x ?v WHERE { ?x <http://p/knows> ?z ."
+            " BIND(EXISTS { ?x <http://p/name> ?n } AS ?v) }",
+        )
+        t = '"true"^^<http://www.w3.org/2001/XMLSchema#boolean>'
+        f = '"false"^^<http://www.w3.org/2001/XMLSchema#boolean>'
+        assert rows(out) == [
+            ("<http://e/a>", t),
+            ("<http://e/b>", t),
+            ("<http://e/x>", f),
+        ]
+
+    def test_not_exists_bare_in_bind(self, quads):
+        out = run_sparql(
+            quads,
+            "SELECT ?x ?v WHERE { ?x <http://p/knows> ?z ."
+            " BIND(NOT EXISTS { ?x <http://p/name> ?n } AS ?v) }",
+        )
+        t = '"true"^^<http://www.w3.org/2001/XMLSchema#boolean>'
+        assert [r for r in rows(out) if r[1] == t] == [("<http://e/x>", t)]
+
+    def test_bind_exists_feeding_filter(self, quads):
+        # the bound boolean term is filterable like any other term
+        out = run_sparql(
+            quads,
+            "SELECT ?x WHERE { ?x <http://p/knows> ?z ."
+            " BIND(IF(EXISTS { ?x <http://p/name> ?n }, 1, 0) AS ?v)"
+            " FILTER(?v > 0) }",
+        )
+        assert rows(out) == [("<http://e/a>",), ("<http://e/b>",)]
+
+    def test_exists_in_select_expression(self, quads):
+        # is-known: a is known by nobody, b is known by a
+        out = run_sparql(
+            quads,
+            "SELECT ?x (IF(EXISTS { ?w <http://p/knows> ?x }, 1, 0) AS ?v)"
+            " WHERE { ?x <http://p/name> ?n }",
+        )
+        assert rows(out) == [("<http://e/a>", 0.0), ("<http://e/b>", 1.0)]
+
+    def test_exists_in_grouped_select_expression(self, quads):
+        out = run_sparql(
+            quads,
+            "SELECT ?x (COUNT(?y) AS ?cnt)"
+            " (IF(EXISTS { ?x <http://p/name> ?n }, 1, 0) AS ?named)"
+            " WHERE { ?x <http://p/knows> ?y } GROUP BY ?x",
+        )
+        assert rows(out) == [
+            ("<http://e/a>", 1, 1.0),
+            ("<http://e/b>", 1, 1.0),
+            ("<http://e/x>", 1, 0.0),
+        ]
 
     def test_minus_shared_domain(self, quads):
         out = run_sparql(
@@ -1757,13 +1814,27 @@ class TestExistsInBooleanExpr:
             ("<http://e/b>", "<http://e/c>"),
         ]
 
-    def test_exists_in_if_condition_raises(self, quads):
-        with pytest.raises(SparqlSyntaxError, match="EXISTS"):
-            run_sparql(
-                quads,
-                'SELECT (IF(EXISTS { ?s <http://p/knows> ?o }, "y", "n")'
-                " AS ?z) WHERE { ?s <http://p/age> ?a }",
-            )
+    def test_exists_in_if_condition_in_select_expr(self, quads):
+        # round-5 extension: EXISTS hoists to markers in SELECT expression
+        # projections too — both age-bearing subjects (a, b) know someone
+        out = run_sparql(
+            quads,
+            'SELECT ?s (IF(EXISTS { ?s <http://p/knows> ?o }, "y", "n")'
+            " AS ?z) WHERE { ?s <http://p/age> ?a }",
+        )
+        assert rows(out) == [
+            ("<http://e/a>", '"y"'),
+            ("<http://e/b>", '"y"'),
+        ]
+        neg = run_sparql(
+            quads,
+            'SELECT ?s (IF(EXISTS { ?w <http://p/knows> ?s }, "y", "n")'
+            " AS ?z) WHERE { ?s <http://p/age> ?a }",
+        )
+        assert rows(neg) == [
+            ("<http://e/a>", '"n"'),
+            ("<http://e/b>", '"y"'),
+        ]
 
     def test_pure_exists_still_fast_path(self, quads):
         from rdf2hk_spark.plans.sparql import parse_sparql
