@@ -128,6 +128,9 @@ def main() -> None:
         "evt_sessions",
         "doc_quality",
         "doc_fingerprint",
+        "doc_window_dedup",
+        "doc_decontam",
+        "doc_line_dedup",
     ):
         q = entry.queries()[name]
         run(name, lambda q=q: q(spark, sf_dir).count())

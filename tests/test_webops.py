@@ -197,3 +197,51 @@ def test_mixture_sample_join_variant_equivalent(spark):
     assert ra == rb and len(ra) > 0
     # input columns survive the join variant untouched
     assert set(b.columns) == {"doc_id", "source", "payload"}
+
+
+# ------------------------------------------------------------- plan shapes
+# The 100-TB argument as assertions: the scan-speed ops must compile to
+# zero-Exchange plans, the broadcast variant must not shuffle the corpus,
+# and the rollups must not degenerate into cartesian products.
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_c4_filters_compile_shuffle_free(spark):
+    df = _df(spark, [Row(doc_id=1, text="a b c d e.\nf g")])
+    assert "Exchange" not in _plan(c4.c4_doc_filter(df))
+    assert "Exchange" not in _plan(c4.c4_line_filter(df))
+
+
+def test_mixture_sample_is_a_pure_scan_predicate(spark):
+    df = _df(spark, [Row(doc_id=i, source="s") for i in range(10)])
+    p = _plan(sampling.mixture_sample(df, {"s": 500}))
+    assert "Exchange" not in p
+
+
+def test_mixture_sample_join_broadcasts_rates_only(spark):
+    df = _df(spark, [Row(doc_id=i, source="s") for i in range(10)])
+    rates = _df(spark, [Row(source="s", rate_x1000=500)])
+    p = _plan(sampling.mixture_sample_join(df, rates))
+    assert "BroadcastExchange" in p  # the tiny rates side
+    assert "Exchange hashpartitioning" not in p  # never the corpus
+
+
+def test_domain_stats_single_keyed_shuffle_family(spark):
+    df = _df(
+        spark,
+        [Row(url="https://a.x.com/1", text="aa", lang="en") for _ in range(4)],
+    )
+    p = _plan(webstats.domain_stats(df))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # count_distinct compiles to expand + two-phase agg: at most two keyed
+    # exchanges (partial by (domain, expand-key), final by domain)
+    assert p.count("Exchange hashpartitioning") <= 2
+
+
+def test_window_dedup_no_product_joins(spark):
+    df = _df(spark, [Row(doc_id=i, text="a b c d e f g h i") for i in range(3)])
+    p = _plan(dedup.window_dedup(df, k=8))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
