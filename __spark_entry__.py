@@ -817,6 +817,53 @@ def _ctx_tree_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ctx_quads_multig(spark, sf_dir):
+    """The region→nation context tree SPLIT ACROSS NAMED GRAPHS — each
+    region's subtree lives in its own graph <urn:hk:g/ctx/r/{rk}> — the
+    input for the per-graph path-closure oracle."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    nk = F.col("n_nationkey").cast("string")
+    rk = F.col("r_regionkey").cast("string")
+    p = F.lit("<urn:hk:p/hasParent>")
+    return nation.select(
+        F.col("n_nationkey").cast("long").alias("stmt_idx"),
+        F.concat(F.lit("<urn:hk:ctx/n/"), nk, F.lit(">")).alias("s"),
+        p.alias("p"),
+        F.concat(
+            F.lit("<urn:hk:ctx/r/"), F.col("n_regionkey").cast("string"),
+            F.lit(">"),
+        ).alias("o"),
+        F.concat(
+            F.lit("<urn:hk:g/ctx/r/"), F.col("n_regionkey").cast("string"),
+            F.lit(">"),
+        ).alias("g"),
+    ).unionByName(
+        region.select(
+            (F.col("r_regionkey").cast("long") + 10_000).alias("stmt_idx"),
+            F.concat(F.lit("<urn:hk:ctx/r/"), rk, F.lit(">")).alias("s"),
+            p.alias("p"),
+            F.lit("<urn:hk:ctx/root>").alias("o"),
+            F.concat(F.lit("<urn:hk:g/ctx/r/"), rk, F.lit(">")).alias("g"),
+        )
+    )
+
+
+def q_kg_sparql_graph_path(spark, sf_dir):
+    """Simple property path UNDER ``GRAPH ?var``: per-graph ``+`` closure
+    via composite (g, node) keys (plans.sparql._scan_path_g) — every
+    context reaching <ctx/root> inside its own region graph, with the
+    graph bound. The closure must not leak across graphs even though all
+    regions share the one <ctx/root> sink."""
+    from rdf2hk_spark.plans.sparql import run_sparql
+
+    return run_sparql(
+        _ctx_quads_multig(spark, sf_dir),
+        "SELECT ?g ?c WHERE { GRAPH ?g {"
+        " ?c <urn:hk:p/hasParent>+ <urn:hk:ctx/root> } }",
+    )
+
+
 def q_kg_sparql_path(spark, sf_dir):
     """Q10 property path: ``?c <hasParent>* <ctx/r/1>`` over the synthetic
     region→nation context tree (the reference's own generated form,
@@ -1476,6 +1523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_path_agg": q_kg_sparql_path_agg,
         "kg_sparql_builtins": q_kg_sparql_builtins,
         "kg_sparql_graph": q_kg_sparql_graph,
+        "kg_sparql_graph_path": q_kg_sparql_graph_path,
         "kg_sparql_subquery": q_kg_sparql_subquery,
         "kg_sparql_strfns": q_kg_sparql_strfns,
         "doc_chain_clusters": q_doc_chain_clusters,
@@ -2029,6 +2077,15 @@ def oracle_sql() -> dict[str, str]:
             FROM quads
             WHERE p = '<urn:hk:p/inNation>' AND g <> '<hk://id/null>'
             GROUP BY g
+        """,
+        "kg_sparql_graph_path": """
+            SELECT '<urn:hk:g/ctx/r/' || r_regionkey || '>' AS g,
+                   '<urn:hk:ctx/r/' || r_regionkey || '>' AS c
+            FROM region
+            UNION ALL
+            SELECT '<urn:hk:g/ctx/r/' || n_regionkey || '>' AS g,
+                   '<urn:hk:ctx/n/' || n_nationkey || '>' AS c
+            FROM nation
         """,
         "kg_sparql_builtins": f"""
             WITH {_Q}

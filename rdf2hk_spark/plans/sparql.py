@@ -81,9 +81,10 @@ algebra and compiles to a DataFrame plan:
 Subset contract: SELECT / ASK / DESCRIBE / CONSTRUCT queries over the forms
 above ([NOT] EXISTS composes everywhere a boolean or value can appear:
 FILTER and HAVING boolean expressions, BIND values and SELECT expression
-projections — bare EXISTS materializes an xsd:boolean term). Anything
-else (a
-subquery under GRAPH ?var, property paths under GRAPH ?var) raises
+projections — bare EXISTS materializes an xsd:boolean term; simple
+``<p>*``/``+``/``?`` paths work under GRAPH ?var via composite (g, node)
+closure keys). Anything else (a
+subquery under GRAPH ?var, COMPOUND property paths under GRAPH ?var) raises
 ``SparqlSyntaxError`` — never a silently wrong answer.
 DESCRIBE-style fetches also exist as ``plans.query.from_uris``; programmatic
 assembly (Q10) is the DataFrame/filter-dict API plus this text entry.
@@ -1621,6 +1622,86 @@ def _scan_path(quads: DataFrame, pat: Pattern) -> DataFrame:
     return _path_with_edges(quads, pat, edges, pat.path)
 
 
+def _scan_path_g(
+    quads: DataFrame, pat: Pattern, graph_var: str
+) -> DataFrame:
+    """Per-graph closure for a simple modified-predicate path under
+    ``GRAPH ?var``: nodes become composite ``struct(g, n)`` keys, so the
+    single-step relation never crosses graphs and the ordinary pairwise
+    closure (:func:`_closure_pairs`) IS the per-graph closure — one
+    evaluation for ALL named graphs at once, no per-graph loop, no driver
+    hop. Endpoints (and the graph variable) bind by decomposing the
+    structs; ground endpoints filter the closure afterward (the
+    directional-BFS fast path seeds from one constant and doesn't apply
+    across graphs — acceptable: ground endpoints under GRAPH ?var are
+    rare, and the closure is still bounded per graph).
+
+    Zero-length semantics per graph: ``*``/``?`` with two variables match
+    every term OF THAT GRAPH against itself; a ground endpoint admits
+    (g, t, t) for EVERY named graph of the dataset, mirroring the
+    non-graph rule that zero-length never requires presence."""
+    op = pat.path
+    include_zero = op in ("*", "?")
+    s_var = pat.s[1:] if pat.s.startswith("?") else None
+    o_var = pat.o[1:] if pat.o.startswith("?") else None
+
+    def comp(g: Column, n: Column) -> Column:
+        return F.struct(g.alias("g"), n.alias("n"))
+
+    edges = _realias(
+        quads.filter(F.col("p") == pat.p)
+        .select(
+            comp(F.col("g"), F.col("s")).alias("src"),
+            comp(F.col("g"), F.col("o")).alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(),
+        "src", "dst",
+    )
+    pairs = edges if op == "?" else _closure_pairs(edges)
+    if include_zero:
+        if s_var is not None and o_var is not None:
+            # every term of each graph matches itself within that graph
+            nodes = (
+                quads.select(F.col("g"), F.col("s").alias("n"))
+                .unionByName(quads.select(F.col("g"), F.col("o").alias("n")))
+                .distinct()
+            )
+            diag = nodes.select(
+                comp(F.col("g"), F.col("n")).alias("src"),
+                comp(F.col("g"), F.col("n")).alias("dst"),
+            )
+        else:
+            # ground endpoint: (g, t, t) for every named graph
+            t = pat.s if s_var is None else pat.o
+            diag = quads.select("g").distinct().select(
+                comp(F.col("g"), F.lit(t)).alias("src"),
+                comp(F.col("g"), F.lit(t)).alias("dst"),
+            )
+        pairs = pairs.unionByName(diag).distinct()
+    # bind endpoints + the graph variable; duplicates filter to equality
+    positions = [(graph_var, F.col("src").getField("g"))]
+    for var, col, ground in (
+        (s_var, F.col("src").getField("n"), pat.s),
+        (o_var, F.col("dst").getField("n"), pat.o),
+    ):
+        if var is None:
+            pairs = pairs.filter(col == ground)
+        else:
+            positions.append((var, col))
+    out_cols: dict[str, Column] = {}
+    cond = None
+    for var, col in positions:
+        if var in out_cols:
+            eq = out_cols[var] == col
+            cond = eq if cond is None else (cond & eq)
+        else:
+            out_cols[var] = col
+    if cond is not None:
+        pairs = pairs.filter(cond)
+    return pairs.select(*[c.alias(v) for v, c in out_cols.items()])
+
+
 def _path_with_edges(
     quads: DataFrame, pat: Pattern, edges: DataFrame, op: str
 ) -> DataFrame:
@@ -2000,16 +2081,20 @@ def _compile_group_mn(
         if isinstance(item, Pattern):
             if item.path is not None or item.pexpr is not None:
                 if graph_var is not None:
-                    raise SparqlSyntaxError(
-                        "property paths inside GRAPH ?var are not supported"
-                        " (use GRAPH <iri> or a plain pattern)"
+                    if item.pexpr is not None:
+                        raise SparqlSyntaxError(
+                            "compound property paths inside GRAPH ?var are"
+                            " not supported (use GRAPH <iri>, or a simple"
+                            " <p>*/+/? path)"
+                        )
+                    frame = _join(frame, _scan_path_g(quads, item, graph_var))
+                else:
+                    frame = _join(
+                        frame,
+                        _scan_path(quads, item)
+                        if item.pexpr is None
+                        else _scan_path_expr(quads, item),
                     )
-                frame = _join(
-                    frame,
-                    _scan_path(quads, item)
-                    if item.pexpr is None
-                    else _scan_path_expr(quads, item),
-                )
             else:
                 frame = _join(frame, _scan(quads, item, graph_var))
         elif isinstance(item, GraphScope):

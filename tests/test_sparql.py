@@ -1402,9 +1402,83 @@ class TestGraphScope:
         )
         assert rows(out) == [("<http://g/1>",)]
 
-    def test_path_inside_graph_var_raises(self, gquads):
+    def test_compound_path_inside_graph_var_raises(self, gquads):
         with pytest.raises(SparqlSyntaxError, match="GRAPH"):
-            run_sparql(gquads, "SELECT ?g WHERE { GRAPH ?g { ?s <p>+ ?o } }")
+            run_sparql(
+                gquads, "SELECT ?g WHERE { GRAPH ?g { ?s (<p>/<q>) ?o } }"
+            )
+
+    @pytest.fixture(scope="class")
+    def pathg(self, spark):
+        # per-graph chains: g1 a->b->c, g2 a->d, plus a null-sentinel edge
+        rows = [
+            (0, "<a>", "<p>", "<b>", "<http://g/1>"),
+            (1, "<b>", "<p>", "<c>", "<http://g/1>"),
+            (2, "<a>", "<p>", "<d>", "<http://g/2>"),
+            (3, "<n>", "<p>", "<m>", C.HK_NULL_URI),
+        ]
+        return spark.createDataFrame(rows, QUAD_SCHEMA).cache()
+
+    def test_simple_path_under_graph_var(self, pathg):
+        # the closure must stay WITHIN each graph: (a,c) exists in g1 only,
+        # never leaks a cross-graph composite like a->d->... into g1
+        out = run_sparql(
+            pathg, "SELECT ?g ?s ?o WHERE { GRAPH ?g { ?s <p>+ ?o } }"
+        )
+        assert rows(out) == [
+            ("<http://g/1>", "<a>", "<b>"),
+            ("<http://g/1>", "<a>", "<c>"),
+            ("<http://g/1>", "<b>", "<c>"),
+            ("<http://g/2>", "<a>", "<d>"),
+        ]
+
+    def test_ground_start_path_under_graph_var(self, pathg):
+        out = run_sparql(
+            pathg, "SELECT ?g ?o WHERE { GRAPH ?g { <a> <p>+ ?o } }"
+        )
+        assert rows(out) == [
+            ("<http://g/1>", "<b>"),
+            ("<http://g/1>", "<c>"),
+            ("<http://g/2>", "<d>"),
+        ]
+
+    def test_zero_length_path_under_graph_var(self, pathg):
+        # * adds the per-graph ground diagonal: (g, a, a) for EVERY named
+        # graph — and never for the null sentinel
+        out = run_sparql(
+            pathg, "SELECT ?g ?o WHERE { GRAPH ?g { <a> <p>* ?o } }"
+        )
+        assert rows(out) == [
+            ("<http://g/1>", "<a>"),
+            ("<http://g/1>", "<b>"),
+            ("<http://g/1>", "<c>"),
+            ("<http://g/2>", "<a>"),
+            ("<http://g/2>", "<d>"),
+        ]
+
+    def test_optional_step_path_under_graph_var(self, pathg):
+        out = run_sparql(
+            pathg, "SELECT ?g ?s ?o WHERE { GRAPH ?g { ?s <p>? ?o } }"
+        )
+        # one-step edges plus each graph's term diagonal
+        got = rows(out)
+        assert ("<http://g/1>", "<a>", "<b>") in got
+        assert ("<http://g/1>", "<a>", "<a>") in got
+        assert ("<http://g/2>", "<d>", "<d>") in got
+        assert ("<http://g/2>", "<a>", "<c>") not in got
+        assert all(g != C.HK_NULL_URI for g, _, _ in got)
+
+    def test_path_under_graph_var_joins_with_graph_var(self, pathg):
+        # the bound ?g composes with other patterns in the same graph
+        out = run_sparql(
+            pathg,
+            "SELECT ?g ?o WHERE { GRAPH ?g { <a> <p>+ ?o ."
+            " ?x <p> <c> } }",
+        )
+        assert rows(out) == [
+            ("<http://g/1>", "<b>"),
+            ("<http://g/1>", "<c>"),
+        ]
 
     def test_path_inside_graph_iri_scopes_closure(self, gquads, spark):
         chain = spark.createDataFrame(
