@@ -70,7 +70,10 @@ algebra and compiles to a DataFrame plan:
   DISTINCT, ORDER BY + LIMIT and all — evaluates against the same dataset
   and joins the outer group on its PROJECTED variables only (compatibility
   join when a shared variable can be unbound on either side); a subselect
-  can also stand as a UNION operand;
+  can also stand as a UNION operand, and works under ``GRAPH ?var``
+  (per-graph evaluation: the graph column becomes an implicit group /
+  DISTINCT key and rides the projection — LIMIT/OFFSET there would need
+  per-graph slicing and raises instead);
 - FILTER builtins: REGEX/BOUND plus STRSTARTS/STRENDS/CONTAINS/
   LANGMATCHES (basic language ranges) and isIRI/isLiteral/isBlank (the P3
   term-kind predicates surfaced to user SPARQL); comparison operands may
@@ -83,8 +86,9 @@ above ([NOT] EXISTS composes everywhere a boolean or value can appear:
 FILTER and HAVING boolean expressions, BIND values and SELECT expression
 projections — bare EXISTS materializes an xsd:boolean term; simple
 ``<p>*``/``+``/``?`` paths work under GRAPH ?var via composite (g, node)
-closure keys). Anything else (a
-subquery under GRAPH ?var, COMPOUND property paths under GRAPH ?var) raises
+closure keys; subqueries under GRAPH ?var evaluate per graph). Anything
+else (LIMIT/OFFSET inside a subquery under GRAPH ?var, COMPOUND property
+paths under GRAPH ?var) raises
 ``SparqlSyntaxError`` — never a silently wrong answer.
 DESCRIBE-style fetches also exist as ``plans.query.from_uris``; programmatic
 assembly (Q10) is the DataFrame/filter-dict API plus this text entry.
@@ -2115,15 +2119,13 @@ def _compile_group_mn(
                 frame = _join_compat(frame, sub, maybe_null | sub_mn)
                 maybe_null |= sub_mn
         elif isinstance(item, SubSelect):
-            if graph_var is not None:
-                # per-graph subquery evaluation (GRAPH ?g { {SELECT ...} })
-                # would need the graph key threaded through the inner
-                # projection — out of scope, raise instead of answering wrong
-                raise SparqlSyntaxError(
-                    "a subquery inside GRAPH ?var is not supported"
-                    " (use GRAPH <iri>)"
-                )
-            sub, sub_mn = _compile_select_mn(quads, spark, item.query)
+            # under GRAPH ?var the subquery evaluates PER NAMED GRAPH in
+            # one pass: pattern scans bind the graph column, aggregation /
+            # DISTINCT implicitly key on it, and it survives projection so
+            # the join below correlates per graph (_compile_select_mn)
+            sub, sub_mn = _compile_select_mn(
+                quads, spark, item.query, graph_var
+            )
             # SPARQL join compatibility when a shared variable can be
             # unbound on either side — same machinery as the VALUES UNDEF
             # join (null matches anything, merged row keeps the bound value)
@@ -2422,8 +2424,17 @@ def _compile_aggregate(
     boolean marker column over the GROUPED frame (_exists_marker — the
     inner pattern correlates on shared column names, i.e. group keys and,
     if the inner pattern happens to use them, aggregate aliases), the
-    rewritten HAVING filters over the markers, and the markers drop out."""
+    rewritten HAVING filters over the markers, and the markers drop out.
+
+    ``graph_var`` set (a subquery under ``GRAPH ?var``) makes the bound
+    graph column an IMPLICIT group key — the aggregation evaluates
+    per named graph in one groupBy, and the graph column survives the
+    projection so the enclosing GraphScope join can bind ?var."""
     cols = set(frame.columns)
+    gkey = graph_var if graph_var is not None and graph_var in cols else None
+    gb = list(q.group_by) + (
+        [gkey] if gkey is not None and gkey not in q.group_by else []
+    )
     plain = [name for kind, name in q.select_items if kind == "var"]
     aggs = [item for kind, item in q.select_items if kind == "agg"]
     exprs = [item for kind, item in q.select_items if kind == "expr"]
@@ -2462,9 +2473,9 @@ def _compile_aggregate(
                 f"{sorted(bad)} — wrap in an aggregate or GROUP BY them"
             )
     if not aggs:  # bare GROUP BY: the distinct group keys
-        grouped = frame.select(*q.group_by).distinct()
+        grouped = frame.select(*gb).distinct()
     else:
-        grouped = frame.groupBy(*q.group_by).agg(
+        grouped = frame.groupBy(*gb).agg(
             *[_agg_col(a, cols) for a in aggs]
         )
     if q.having is not None:
@@ -2546,6 +2557,14 @@ def _compile_aggregate(
             projection.append(c.alias(alias))
     if not projection:  # SELECT * GROUP BY ...
         projection = [F.col(v) for v in plain]
+    if gkey is not None:
+        projected_names = {
+            item if kind == "var" else
+            item.alias if kind == "agg" else item[1]
+            for kind, item in sel_items
+        } | set(plain)
+        if gkey not in projected_names:
+            projection.append(F.col(gkey))
     return grouped.select(*projection)
 
 
@@ -2693,7 +2712,7 @@ def run_sparql(quads: DataFrame, text: str, hide_hk: bool = False) -> DataFrame:
 
 
 def _compile_select_mn(
-    base: DataFrame, spark, q: Query
+    base: DataFrame, spark, q: Query, graph_var: str | None = None
 ) -> tuple[DataFrame, set[str]]:
     """The SELECT evaluation pipeline — group compile, aggregate/expression
     projection, DISTINCT / ORDER BY / OFFSET / LIMIT — shared by the
@@ -2702,14 +2721,30 @@ def _compile_select_mn(
     result frame plus its maybe-unbound column set: projected variables
     keep their group-level nullability; expression aliases can error to
     null; aggregate aliases other than COUNT can be null (SUM/AVG over
-    non-numeric terms, MIN over all-null groups)."""
-    frame, mn = _compile_group_mn(base, spark, q.where)
+    non-numeric terms, MIN over all-null groups).
+
+    ``graph_var`` set = a SubSelect under ``GRAPH ?var``: every pattern
+    scan binds the graph column, aggregation/DISTINCT implicitly key on it
+    (per-graph evaluation in ONE pass — no per-graph loop), and it rides
+    along the projection so the enclosing scope can bind ?var. LIMIT /
+    OFFSET would have to slice PER GRAPH (a window, not a limit) — out of
+    scope, raises instead of answering globally-sliced and wrong."""
+    if graph_var is not None and (q.limit is not None or q.offset):
+        raise SparqlSyntaxError(
+            "LIMIT/OFFSET in a subquery under GRAPH ?var is not supported"
+            " (the slice would have to apply per graph)"
+        )
+    frame, mn = _compile_group_mn(base, spark, q.where, graph_var)
     if frame is None:
         raise SparqlSyntaxError("empty WHERE group")
     if not frame.columns:
         raise SparqlSyntaxError("WHERE binds no variables")
+    gv_bound = graph_var is not None and graph_var in frame.columns
     if q.group_by or any(kind == "agg" for kind, _ in q.select_items):
-        out = _compile_aggregate(frame, q, quads=base, spark=spark, maybe_null=mn)
+        out = _compile_aggregate(
+            frame, q, quads=base, spark=spark, maybe_null=mn,
+            graph_var=graph_var,
+        )
         out_mn = set()
         for kind, item in q.select_items:
             if kind == "var" and item in mn:
@@ -2758,6 +2793,10 @@ def _compile_select_mn(
                     seen.add(alias)
                     c, _ = _value_as_term_or_num(e, cols, numeric)
                     projection.append(c.alias(alias))
+            if gv_bound and graph_var not in (
+                {i for k, i in q.select_items if k == "var"} | seen
+            ):
+                projection.append(F.col(graph_var))
             out = frame.select(*projection)
             out_mn = {
                 item if kind == "var" else item[1]
@@ -2771,6 +2810,8 @@ def _compile_select_mn(
                 raise SparqlSyntaxError(
                     f"projected variables not bound: {missing}"
                 )
+            if gv_bound and graph_var not in variables:
+                variables = list(variables) + [graph_var]
             out = frame.select(*variables)
             out_mn = mn & set(variables)
     if q.distinct:

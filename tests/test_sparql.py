@@ -1468,6 +1468,64 @@ class TestGraphScope:
         assert ("<http://g/2>", "<a>", "<c>") not in got
         assert all(g != C.HK_NULL_URI for g, _, _ in got)
 
+    @pytest.fixture(scope="class")
+    def subg(self, spark):
+        rows = [
+            (0, "<a>", "<p>", "<b>", "<http://g/1>"),
+            (1, "<a>", "<p>", "<c>", "<http://g/1>"),
+            (2, "<x>", "<p>", "<y>", "<http://g/2>"),
+            (3, "<e>", "<p>", "<f>", C.HK_NULL_URI),
+            (4, "<a>", "<q>", "<z>", "<http://g/1>"),
+        ]
+        return spark.createDataFrame(rows, QUAD_SCHEMA).cache()
+
+    def test_aggregate_subquery_under_graph_var(self, subg):
+        # per-graph COUNT: the graph column is an implicit group key
+        out = run_sparql(
+            subg,
+            "SELECT ?g ?cnt WHERE { GRAPH ?g {"
+            " { SELECT (COUNT(?s) AS ?cnt) WHERE { ?s <p> ?o } } } }",
+        )
+        assert rows(out) == [("<http://g/1>", 2), ("<http://g/2>", 1)]
+
+    def test_grouped_subquery_under_graph_var(self, subg):
+        out = run_sparql(
+            subg,
+            "SELECT ?g ?s ?n WHERE { GRAPH ?g {"
+            " { SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s <p> ?o }"
+            " GROUP BY ?s } } }",
+        )
+        assert rows(out) == [
+            ("<http://g/1>", "<a>", 2),
+            ("<http://g/2>", "<x>", 1),
+        ]
+
+    def test_distinct_subquery_under_graph_var(self, subg):
+        # DISTINCT applies per graph (the graph key rides the projection)
+        out = run_sparql(
+            subg,
+            "SELECT ?g ?s WHERE { GRAPH ?g {"
+            " { SELECT DISTINCT ?s WHERE { ?s <p> ?o } } } }",
+        )
+        assert rows(out) == [("<http://g/1>", "<a>"), ("<http://g/2>", "<x>")]
+
+    def test_subquery_under_graph_var_correlates_with_patterns(self, subg):
+        # the sibling pattern must hold in the SAME graph as the subquery
+        out = run_sparql(
+            subg,
+            "SELECT ?g ?s WHERE { GRAPH ?g { ?w <q> ?z ."
+            " { SELECT DISTINCT ?s WHERE { ?s <p> ?o } } } }",
+        )
+        assert rows(out) == [("<http://g/1>", "<a>")]
+
+    def test_limit_in_subquery_under_graph_var_raises(self, subg):
+        with pytest.raises(SparqlSyntaxError, match="LIMIT"):
+            run_sparql(
+                subg,
+                "SELECT ?g ?s WHERE { GRAPH ?g {"
+                " { SELECT ?s WHERE { ?s <p> ?o } LIMIT 1 } } }",
+            )
+
     def test_path_under_graph_var_joins_with_graph_var(self, pathg):
         # the bound ?g composes with other patterns in the same graph
         out = run_sparql(
@@ -1682,13 +1740,19 @@ class TestSubqueryAndValueBuiltins:
             ("<http://e/x>",),
         ]
 
-    def test_subquery_under_graph_var_raises(self, quads):
-        with pytest.raises(SparqlSyntaxError, match="GRAPH"):
-            run_sparql(
-                quads,
-                "SELECT ?g ?x WHERE { GRAPH ?g {"
-                " { SELECT ?x WHERE { ?x <http://p/knows> ?y } } } }",
-            )
+    def test_subquery_under_graph_var(self, quads):
+        # round-5 extension: per-graph subquery evaluation — G1's knows
+        # subjects bind under g/1, G2's under g/2, the sentinel never binds
+        out = run_sparql(
+            quads,
+            "SELECT ?g ?x WHERE { GRAPH ?g {"
+            " { SELECT ?x WHERE { ?x <http://p/knows> ?y } } } }",
+        )
+        assert rows(out) == [
+            ("<http://g/1>", "<http://e/a>"),
+            ("<http://g/1>", "<http://e/b>"),
+            ("<http://g/2>", "<http://e/x>"),
+        ]
 
     def test_subquery_under_ground_graph_scopes(self, quads):
         out = run_sparql(
