@@ -72,8 +72,8 @@ algebra and compiles to a DataFrame plan:
   join when a shared variable can be unbound on either side); a subselect
   can also stand as a UNION operand, and works under ``GRAPH ?var``
   (per-graph evaluation: the graph column becomes an implicit group /
-  DISTINCT key and rides the projection — LIMIT/OFFSET there would need
-  per-graph slicing and raises instead);
+  DISTINCT key and rides the projection; LIMIT/OFFSET slice per graph
+  via a row_number window over the graph key);
 - FILTER builtins: REGEX/BOUND plus STRSTARTS/STRENDS/CONTAINS/
   LANGMATCHES (basic language ranges) and isIRI/isLiteral/isBlank (the P3
   term-kind predicates surfaced to user SPARQL); comparison operands may
@@ -86,8 +86,8 @@ above ([NOT] EXISTS composes everywhere a boolean or value can appear:
 FILTER and HAVING boolean expressions, BIND values and SELECT expression
 projections — bare EXISTS materializes an xsd:boolean term; simple
 ``<p>*``/``+``/``?`` paths work under GRAPH ?var via composite (g, node)
-closure keys; subqueries under GRAPH ?var evaluate per graph). Anything
-else (LIMIT/OFFSET inside a subquery under GRAPH ?var, COMPOUND property
+closure keys; subqueries under GRAPH ?var evaluate per graph, with
+per-graph LIMIT/OFFSET windows). Anything else (COMPOUND property
 paths under GRAPH ?var) raises
 ``SparqlSyntaxError`` — never a silently wrong answer.
 DESCRIBE-style fetches also exist as ``plans.query.from_uris``; programmatic
@@ -2727,13 +2727,9 @@ def _compile_select_mn(
     scan binds the graph column, aggregation/DISTINCT implicitly key on it
     (per-graph evaluation in ONE pass — no per-graph loop), and it rides
     along the projection so the enclosing scope can bind ?var. LIMIT /
-    OFFSET would have to slice PER GRAPH (a window, not a limit) — out of
-    scope, raises instead of answering globally-sliced and wrong."""
-    if graph_var is not None and (q.limit is not None or q.offset):
-        raise SparqlSyntaxError(
-            "LIMIT/OFFSET in a subquery under GRAPH ?var is not supported"
-            " (the slice would have to apply per graph)"
-        )
+    OFFSET slice PER GRAPH via a row_number window partitioned on the
+    graph key (ordered by the subquery's ORDER BY, or by all projected
+    columns for a deterministic implementation-defined choice)."""
     frame, mn = _compile_group_mn(base, spark, q.where, graph_var)
     if frame is None:
         raise SparqlSyntaxError("empty WHERE group")
@@ -2816,6 +2812,35 @@ def _compile_select_mn(
             out_mn = mn & set(variables)
     if q.distinct:
         out = out.distinct()
+    if gv_bound and (q.limit is not None or q.offset):
+        # subquery under GRAPH ?var: the slice applies PER GRAPH — a
+        # row_number window partitioned by the graph key, ordered by the
+        # subquery's ORDER BY (or by every projected column ascending when
+        # none is given, making the implementation-defined choice
+        # deterministic and partitioning-invariant)
+        from pyspark.sql.window import Window
+
+        order_cols = (
+            [
+                F.col(v).asc() if asc else F.col(v).desc()
+                for v, asc in q.order_by
+            ]
+            if q.order_by
+            else [
+                F.col(c).asc() for c in out.columns if c != graph_var
+            ]
+        )
+        w = Window.partitionBy(graph_var).orderBy(*order_cols)
+        lo = q.offset or 0
+        cond = F.col("_rn") > lo
+        if q.limit is not None:
+            cond = cond & (F.col("_rn") <= lo + q.limit)
+        out = (
+            out.withColumn("_rn", F.row_number().over(w))
+            .filter(cond)
+            .drop("_rn")
+        )
+        return out, out_mn
     if q.order_by:
         out = out.orderBy(
             *[F.col(v).asc() if asc else F.col(v).desc() for v, asc in q.order_by]

@@ -1518,13 +1518,31 @@ class TestGraphScope:
         )
         assert rows(out) == [("<http://g/1>", "<a>")]
 
-    def test_limit_in_subquery_under_graph_var_raises(self, subg):
-        with pytest.raises(SparqlSyntaxError, match="LIMIT"):
-            run_sparql(
-                subg,
-                "SELECT ?g ?s WHERE { GRAPH ?g {"
-                " { SELECT ?s WHERE { ?s <p> ?o } LIMIT 1 } } }",
-            )
+    def test_limit_in_subquery_under_graph_var_slices_per_graph(self, subg):
+        # LIMIT under GRAPH ?var is a per-graph window slice: ONE row per
+        # graph here — not a global LIMIT 1 (which would drop a graph)
+        out = run_sparql(
+            subg,
+            "SELECT ?g ?o WHERE { GRAPH ?g {"
+            " { SELECT ?o WHERE { ?s <p> ?o } ORDER BY ?o LIMIT 1 } } }",
+        )
+        assert rows(out) == [("<http://g/1>", "<b>"), ("<http://g/2>", "<y>")]
+        # OFFSET composes: the SECOND object per graph (g/2 has only one)
+        out2 = run_sparql(
+            subg,
+            "SELECT ?g ?o WHERE { GRAPH ?g {"
+            " { SELECT ?o WHERE { ?s <p> ?o } ORDER BY ?o LIMIT 1 OFFSET 1"
+            " } } }",
+        )
+        assert rows(out2) == [("<http://g/1>", "<c>")]
+        # no ORDER BY: deterministic implementation-defined choice (all
+        # projected columns ascending) — still one row per graph
+        out3 = run_sparql(
+            subg,
+            "SELECT ?g ?o WHERE { GRAPH ?g {"
+            " { SELECT ?o WHERE { ?s <p> ?o } LIMIT 1 } } }",
+        )
+        assert rows(out3) == [("<http://g/1>", "<b>"), ("<http://g/2>", "<y>")]
 
     def test_path_under_graph_var_joins_with_graph_var(self, pathg):
         # the bound ?g composes with other patterns in the same graph
