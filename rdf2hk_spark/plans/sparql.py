@@ -86,9 +86,10 @@ above ([NOT] EXISTS composes everywhere a boolean or value can appear:
 FILTER and HAVING boolean expressions, BIND values and SELECT expression
 projections — bare EXISTS materializes an xsd:boolean term; simple
 ``<p>*``/``+``/``?`` paths work under GRAPH ?var via composite (g, node)
-closure keys; subqueries under GRAPH ?var evaluate per graph, with
-per-graph LIMIT/OFFSET windows). Anything else (COMPOUND property
-paths under GRAPH ?var) raises
+closure keys — compound paths too, by re-encoding the quad frame's
+endpoints as composite structs; subqueries under GRAPH ?var evaluate per
+graph, with per-graph LIMIT/OFFSET windows). Any OTHER construct outside
+the grammar above raises
 ``SparqlSyntaxError`` — never a silently wrong answer.
 DESCRIBE-style fetches also exist as ``plans.query.from_uris``; programmatic
 assembly (Q10) is the DataFrame/filter-dict API plus this text entry.
@@ -1663,9 +1664,52 @@ def _scan_path_g(
         "src", "dst",
     )
     pairs = edges if op == "?" else _closure_pairs(edges)
-    if include_zero:
+    return _bind_path_endpoints_g(quads, pat, pairs, include_zero, graph_var)
+
+
+def _scan_path_expr_g(
+    quads: DataFrame, pat: Pattern, graph_var: str
+) -> DataFrame:
+    """Compound path (sequence / alternative / inverse / negated set,
+    modifiers anywhere) under ``GRAPH ?var``: re-encode the quad frame's
+    endpoints as composite ``struct(g, n)`` BEFORE the pair-relation
+    evaluation — :func:`_path_pairs` touches only (s, p, o) with predicate
+    string filters and src/dst joins, so it runs UNCHANGED over composite
+    keys and every step relation stays inside its graph. Endpoints and
+    the graph variable then bind by decomposing the structs."""
+    qc = quads.select(
+        F.struct(F.col("g").alias("g"), F.col("s").alias("n")).alias("s"),
+        F.col("p"),
+        F.struct(F.col("g").alias("g"), F.col("o").alias("n")).alias("o"),
+    )
+    pairs, zero = _path_pairs(qc, pat.pexpr)
+    return _bind_path_endpoints_g(quads, pat, pairs, zero, graph_var)
+
+
+def _bind_path_endpoints_g(
+    quads: DataFrame,
+    pat: Pattern,
+    pairs: DataFrame,
+    zero: bool,
+    graph_var: str,
+) -> DataFrame:
+    """Composite twin of :func:`_bind_path_endpoints`: ``pairs`` carries
+    ``struct(g, n)`` endpoints (src.g == dst.g by construction — steps
+    never cross graphs) and the graph VARIABLE binds alongside the
+    endpoints. Zero-length semantics mirror the plain binder per graph;
+    a ground endpoint admits (g, t, t) for EVERY named graph."""
+    spark = quads.sparkSession
+    s_var = pat.s[1:] if pat.s.startswith("?") else None
+    o_var = pat.o[1:] if pat.o.startswith("?") else None
+
+    def comp(g: Column, n: Column) -> Column:
+        return F.struct(g.alias("g"), n.alias("n"))
+
+    if zero:
         if s_var is not None and o_var is not None:
-            # every term of each graph matches itself within that graph
+            # every term of each graph matches itself within that graph;
+            # folding the identity in deduplicates — set semantics there,
+            # exactly like the plain binder
             nodes = (
                 quads.select(F.col("g"), F.col("s").alias("n"))
                 .unionByName(quads.select(F.col("g"), F.col("o").alias("n")))
@@ -1675,6 +1719,13 @@ def _scan_path_g(
                 comp(F.col("g"), F.col("n")).alias("src"),
                 comp(F.col("g"), F.col("n")).alias("dst"),
             )
+            pairs = pairs.unionByName(diag).distinct()
+        elif s_var is None and o_var is None:
+            if pat.s == pat.o:
+                # identity holds in every named graph
+                return quads.select("g").distinct().select(
+                    F.col("g").alias(graph_var)
+                )
         else:
             # ground endpoint: (g, t, t) for every named graph
             t = pat.s if s_var is None else pat.o
@@ -1682,7 +1733,7 @@ def _scan_path_g(
                 comp(F.col("g"), F.lit(t)).alias("src"),
                 comp(F.col("g"), F.lit(t)).alias("dst"),
             )
-        pairs = pairs.unionByName(diag).distinct()
+            pairs = pairs.unionByName(diag).distinct()
     # bind endpoints + the graph variable; duplicates filter to equality
     positions = [(graph_var, F.col("src").getField("g"))]
     for var, col, ground in (
@@ -2085,13 +2136,12 @@ def _compile_group_mn(
         if isinstance(item, Pattern):
             if item.path is not None or item.pexpr is not None:
                 if graph_var is not None:
-                    if item.pexpr is not None:
-                        raise SparqlSyntaxError(
-                            "compound property paths inside GRAPH ?var are"
-                            " not supported (use GRAPH <iri>, or a simple"
-                            " <p>*/+/? path)"
-                        )
-                    frame = _join(frame, _scan_path_g(quads, item, graph_var))
+                    frame = _join(
+                        frame,
+                        _scan_path_g(quads, item, graph_var)
+                        if item.pexpr is None
+                        else _scan_path_expr_g(quads, item, graph_var),
+                    )
                 else:
                     frame = _join(
                         frame,

@@ -1402,11 +1402,52 @@ class TestGraphScope:
         )
         assert rows(out) == [("<http://g/1>",)]
 
-    def test_compound_path_inside_graph_var_raises(self, gquads):
-        with pytest.raises(SparqlSyntaxError, match="GRAPH"):
-            run_sparql(
-                gquads, "SELECT ?g WHERE { GRAPH ?g { ?s (<p>/<q>) ?o } }"
-            )
+    def test_compound_sequence_path_under_graph_var(self, gquads):
+        # <a> <p> <b> and <a> <q> <z> live in g/1; the sequence <p>/<q>
+        # needs a <q>-edge FROM <b> — none exists, so the composed path is
+        # empty; inverse-then-forward ^<p>/<q> from <b> reaches <z> in g/1
+        out = run_sparql(
+            gquads,
+            "SELECT ?g ?s ?o WHERE { GRAPH ?g { ?s (^<p>/<q>) ?o } }",
+        )
+        assert rows(out) == [("<http://g/1>", "<b>", "<z>")]
+
+    def test_compound_alt_path_under_graph_var(self, gquads):
+        out = run_sparql(
+            gquads,
+            "SELECT ?g ?s ?o WHERE { GRAPH ?g { ?s (<p>|<q>) ?o } }",
+        )
+        assert rows(out) == [
+            ("<http://g/1>", "<a>", "<b>"),
+            ("<http://g/1>", "<a>", "<z>"),
+            ("<http://g/2>", "<c>", "<d>"),
+        ]
+
+    def test_compound_closure_path_under_graph_var(self, pathg):
+        # (<p>)+ written compound (modifier on a parenthesized group) —
+        # must agree with the simple-path twin, per graph
+        out = run_sparql(
+            pathg, "SELECT ?g ?s ?o WHERE { GRAPH ?g { ?s (<p>)+ ?o } }"
+        )
+        assert rows(out) == [
+            ("<http://g/1>", "<a>", "<b>"),
+            ("<http://g/1>", "<a>", "<c>"),
+            ("<http://g/1>", "<b>", "<c>"),
+            ("<http://g/2>", "<a>", "<d>"),
+        ]
+
+    def test_compound_zero_path_ground_under_graph_var(self, pathg):
+        # (<p>/<p>)* from <a>: g/1 reaches <c> in one composed step; the
+        # zero identity admits (g, a) for BOTH named graphs
+        out = run_sparql(
+            pathg,
+            "SELECT ?g ?o WHERE { GRAPH ?g { <a> (<p>/<p>)* ?o } }",
+        )
+        assert rows(out) == [
+            ("<http://g/1>", "<a>"),
+            ("<http://g/1>", "<c>"),
+            ("<http://g/2>", "<a>"),
+        ]
 
     @pytest.fixture(scope="class")
     def pathg(self, spark):
