@@ -1294,6 +1294,15 @@ def q_doc_top_ngrams(spark, sf_dir):
     return textstats.top_ngrams(_docs(spark, sf_dir), n=3, k=25)
 
 
+def q_doc_tfidf_terms(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms, integer-exact (IDF = N*1000 // df,
+    no float log on either engine); rank = row_number over (score desc,
+    term asc) — a total order so the k-cut is deterministic. Three keyed
+    shuffles: tf groupBy, df re-aggregation of the collapsed (doc, term)
+    rows, doc-keyed top-k window (ops.textstats.tfidf_top_terms)."""
+    return textstats.tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
 # the shared passage seeded for window dedup — 13 tokens, lowercase, so
 # every 7th doc carries 6 cross-doc-duplicated 8-token windows (plus the
 # boundary-straddling windows, which differ per doc and must NOT count)
@@ -1546,6 +1555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_c4_filter": q_doc_c4_filter,
         "doc_domain_stats": q_doc_domain_stats,
         "doc_mixture_sample": q_doc_mixture_sample,
+        "doc_tfidf_terms": q_doc_tfidf_terms,
     }
 
 
@@ -3023,5 +3033,31 @@ def oracle_sql() -> dict[str, str]:
         "doc_mixture_sample": f"""
             SELECT doc_id, source FROM documents
             WHERE {_MIX_DRAW_SQL} < {_MIX_CASE_SQL}
+        """,
+        "doc_tfidf_terms": """
+            WITH tok AS (
+              SELECT doc_id AS id, unnest(string_split(lower(text), ' '))
+                       AS term
+              FROM documents
+            ),
+            tf AS (
+              SELECT id, term, count(*)::BIGINT AS tf
+              FROM tok GROUP BY id, term
+            ),
+            dfreq AS (
+              SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+            ),
+            scored AS (
+              SELECT tf.id, tf.term, tf.tf, dfreq.df,
+                     (tf.tf * (((SELECT count(*) FROM documents) * 1000)
+                               // dfreq.df))::BIGINT AS score
+              FROM tf JOIN dfreq USING (term)
+            )
+            SELECT id, term, tf, df, score, rank FROM (
+              SELECT *, row_number() OVER (
+                       PARTITION BY id ORDER BY score DESC, term ASC
+                     )::BIGINT AS rank
+              FROM scored
+            ) WHERE rank <= 3
         """,
     }

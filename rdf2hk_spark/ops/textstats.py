@@ -184,3 +184,57 @@ def top_ngrams(
     return counts.orderBy(
         F.col("n_occurrences").desc(), F.col("gram").asc()
     ).limit(k)
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-``k`` TF-IDF terms — the corpus-analytics op behind
+    keyword extraction / topic sampling at training scale.
+
+    Integer-exact scoring so the DuckDB oracle hashes bit-equal: the IDF
+    factor is ``N * 1000 // df`` (integer floor division — no engine ever
+    evaluates a float log) and ``score = tf * (N * 1000 // df)``. Rank
+    is ``row_number`` over (score desc, term asc) — a total order, so the
+    k-cut is deterministic at any partitioning.
+
+    Returns (id, term, tf, df, score, rank), rank 1..k per document.
+
+    Scale shape (10^12 docs): tf is one groupBy(id, term) with map-side
+    partial counts; df re-aggregates the SAME (id, term) rows by term
+    (count of rows = count of distinct docs, since the tf stage already
+    collapsed duplicates) — so the document-frequency pass shuffles one
+    row per (doc, term), never one per occurrence. The df side joins back
+    term-keyed (hot terms skew it: AQE skew-join split applies; payload
+    is one long). The final top-k is a row_number window keyed by
+    near-uniform doc id. Three keyed shuffles total, no driver hop.
+    """
+    from pyspark.sql.window import Window
+
+    staged = _tokens_frame(df, id_col, text_col)
+    n_docs = staged.count()  # the corpus size N is a plan literal
+    tf = (
+        staged.select("id", F.explode("toks").alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    scored = tf.join(dfreq, "term").select(
+        "id",
+        "term",
+        "tf",
+        "df",
+        (F.col("tf") * F.floor(F.lit(n_docs * 1000) / F.col("df")))
+        .cast("long")
+        .alias("score"),
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

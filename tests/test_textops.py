@@ -164,3 +164,36 @@ class TestTopNgrams:
         )
         out = textstats.top_ngrams(docs, n=3, k=1).collect()
         assert [r["gram"] for r in out] == ["a s d"]  # tie → gram asc
+
+
+def test_tfidf_top_terms(spark):
+    from pyspark.sql import Row
+
+    from rdf2hk_spark.ops.textstats import tfidf_top_terms
+
+    rows = [
+        Row(doc_id=1, text="apple apple banana common"),
+        Row(doc_id=2, text="banana cherry common"),
+        Row(doc_id=3, text="cherry cherry cherry common"),
+    ]
+    out = tfidf_top_terms(spark.createDataFrame(rows), k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["id"], []).append(r)
+    for v in by_doc.values():
+        v.sort(key=lambda r: r["rank"])
+    # N=3; idf_x1000: df=1 -> 3000, df=2 -> 1500, df=3 -> 1000
+    d1 = by_doc[1]
+    assert (d1[0]["term"], d1[0]["tf"], d1[0]["df"], d1[0]["score"]) == (
+        "apple", 2, 1, 6000
+    )
+    assert d1[1]["term"] == "banana" and d1[1]["score"] == 1500
+    # doc 3: cherry tf=3 df=2 -> 4500 beats common 1000
+    d3 = by_doc[3]
+    assert d3[0]["term"] == "cherry" and d3[0]["score"] == 4500
+    assert d3[1]["term"] == "common" and d3[1]["score"] == 1000
+    # ties break term-ascending: doc 2 banana vs cherry both tf=1 df=2
+    d2 = by_doc[2]
+    assert [r["term"] for r in d2] == ["banana", "cherry"]
+    # every doc contributes exactly k rows (corpus bigger than k terms)
+    assert all(len(v) == 2 for v in by_doc.values())
