@@ -131,6 +131,7 @@ def main() -> None:
         "doc_window_dedup",
         "doc_decontam",
         "doc_line_dedup",
+        "doc_tfidf_terms",
     ):
         q = entry.queries()[name]
         run(name, lambda q=q: q(spark, sf_dir).count())
