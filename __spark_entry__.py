@@ -864,6 +864,21 @@ def q_kg_sparql_graph_path(spark, sf_dir):
     )
 
 
+def q_kg_sparql_graph_limit(spark, sf_dir):
+    """Subquery under GRAPH ?var with ORDER BY + LIMIT: the slice applies
+    PER GRAPH via a row_number window on the bound graph key
+    (plans.sparql._compile_select_mn) — the 3 lexicographically-first
+    customers of each market-segment graph, not a global LIMIT 3."""
+    from rdf2hk_spark.plans.sparql import run_sparql
+
+    return run_sparql(
+        tpch_kg.quads_df(spark, sf_dir),
+        "SELECT ?g ?c WHERE { GRAPH ?g {"
+        " { SELECT ?c WHERE { ?c <urn:hk:p/inNation> ?n }"
+        " ORDER BY ?c LIMIT 3 } } }",
+    )
+
+
 def q_kg_sparql_path(spark, sf_dir):
     """Q10 property path: ``?c <hasParent>* <ctx/r/1>`` over the synthetic
     region→nation context tree (the reference's own generated form,
@@ -1533,6 +1548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_builtins": q_kg_sparql_builtins,
         "kg_sparql_graph": q_kg_sparql_graph,
         "kg_sparql_graph_path": q_kg_sparql_graph_path,
+        "kg_sparql_graph_limit": q_kg_sparql_graph_limit,
         "kg_sparql_subquery": q_kg_sparql_subquery,
         "kg_sparql_strfns": q_kg_sparql_strfns,
         "doc_chain_clusters": q_doc_chain_clusters,
@@ -2087,6 +2103,18 @@ def oracle_sql() -> dict[str, str]:
             FROM quads
             WHERE p = '<urn:hk:p/inNation>' AND g <> '<hk://id/null>'
             GROUP BY g
+        """,
+        "kg_sparql_graph_limit": f"""
+            WITH {_Q},
+            c AS (
+              SELECT g, s AS c FROM quads
+              WHERE p = '<urn:hk:p/inNation>' AND g <> '<hk://id/null>'
+            )
+            SELECT g, c FROM (
+              SELECT g, c,
+                     row_number() OVER (PARTITION BY g ORDER BY c) AS rn
+              FROM c
+            ) WHERE rn <= 3
         """,
         "kg_sparql_graph_path": """
             SELECT '<urn:hk:g/ctx/r/' || r_regionkey || '>' AS g,
