@@ -209,8 +209,11 @@ def tfidf_top_terms(
     collapsed duplicates) — so the document-frequency pass shuffles one
     row per (doc, term), never one per occurrence. The df side joins back
     term-keyed (hot terms skew it: AQE skew-join split applies; payload
-    is one long). The final top-k is a row_number window keyed by
-    near-uniform doc id. Three keyed shuffles total, no driver hop.
+    is one long; at test scale AQE broadcasts the small vocabulary side
+    instead — measured plan: 1 BroadcastExchange). The final top-k is a
+    row_number window keyed by near-uniform doc id. Four keyed shuffles
+    worst-case (tf, df, term join, id window), no driver hop, no product
+    join.
     """
     from pyspark.sql.window import Window
 
