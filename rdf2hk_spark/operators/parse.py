@@ -773,6 +773,16 @@ def parse_quads(
             from pyspark.storagelevel import StorageLevel
 
             q = q.persist(StorageLevel.MEMORY_AND_DISK)
+            # Materialize the cache EAGERLY: AQE submits the downstream
+            # branches' leaf shuffle stages concurrently, and every stage
+            # that reaches an UNPOPULATED cache partition recomputes the
+            # full upstream pipeline instead of waiting (cache population
+            # is per-partition and non-blocking). Measured on the web
+            # pipeline at sf0.1: 14 concurrent leaf stages × ~10 s each,
+            # all duplicating the extract+quads derivation — one eager
+            # count() turns that into one materialization plus 14 in-memory
+            # cache scans (guide §2.4: remove redundant passes).
+            q.count()
 
     convert_hk = opts.convert_hk or opts.only_hk
     if convert_hk:

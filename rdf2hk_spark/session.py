@@ -11,6 +11,26 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_memory() -> str:
+    """Size the local-mode JVM heap to the host instead of a constant.
+
+    In local[N] the driver JVM IS the executor: N concurrent tasks share one
+    heap, plus every persisted/localCheckpoint-ed block. An 8g heap on a
+    32-core host left execution memory starved — identical warm jobs varied
+    3× from GC thrash (measured: the web-pipeline parse at sf0.1 took 13.5 s
+    at 8g vs 4.2 s at 24g). Default to a quarter of host RAM clamped to
+    [8g, 24g]; any deployment that is not local-mode-on-one-box should set
+    SPARK_DRIVER_MEMORY (and executor memory) explicitly — the env override
+    wins unchanged."""
+    try:
+        page = os.sysconf("SC_PAGE_SIZE")
+        phys = os.sysconf("SC_PHYS_PAGES")
+        total_gb = page * phys / (1 << 30)
+    except (ValueError, OSError, AttributeError):
+        return "8g"
+    return f"{max(8, min(24, int(total_gb / 4)))}g"
+
+
 def get_spark(
     app: str = "rdf2hk_spark",
     cpus: int | None = None,
@@ -30,7 +50,7 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", _default_driver_memory()))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
