@@ -117,45 +117,48 @@ def _get_parent(opts: ParseOptions, s: Column, g: Column) -> Column:
 
 
 def _with_parse_columns(quads: DataFrame, opts: ParseOptions) -> DataFrame:
-    """Annotate quads with parent / mapped terms / term-kind flags."""
-    q = quads
+    """Annotate quads with parent / mapped terms / term-kind flags.
+
+    Batched into THREE ``withColumns`` calls (one per dependency layer)
+    instead of twelve chained ``withColumn``s: every classic-DataFrame API
+    call analyzes the growing plan through py4j, and the chained form was
+    measured as a visible slice of the ~2 s Python-side plan-construction
+    cost per parse_quads invocation (driver-side time, guide §7.3)."""
     parent = _get_parent(opts, F.col("s"), F.col("g"))
-    q = q.withColumn("parent", parent)
-    q = q.withColumn("parent_id", T.id_from_resource("parent"))
-    # deterministic blank-node remap (P10); link ids keep the ORIGINAL terms
-    # (parser.js:302 uses un-remapped s/o) while binds/properties use the
-    # remapped ones (parser.js:288,295,319-322)
     if opts.preserve_blank_nodes:
-        q = q.withColumn("s_m", F.col("s")).withColumn("o_m", F.col("o"))
+        s_m, o_m = F.col("s"), F.col("o")
     else:
         salt = (
             F.col(opts.blank_node_salt_col)
             if opts.blank_node_salt_col
             else F.lit("hkbn")
         )
-        q = q.withColumn(
-            "s_m",
-            F.when(
-                T.is_blank_node("s"), T.deterministic_blank_node(F.col("s"), salt)
-            ).otherwise(F.col("s")),
-        ).withColumn(
-            "o_m",
-            F.when(
-                T.is_blank_node("o"), T.deterministic_blank_node(F.col("o"), salt)
-            ).otherwise(F.col("o")),
-        )
-    q = q.withColumn("o_is_res", T.is_uri_or_blank_node("o"))
-    q = q.withColumn("subject_id", T.id_from_resource("s_m"))
-    q = q.withColumn("object_id", T.id_from_resource("o_m"))
-    q = q.withColumn("p_id", T.id_from_resource("p"))
+        # deterministic blank-node remap (P10); link ids keep the ORIGINAL
+        # terms (parser.js:302 uses un-remapped s/o) while binds/properties
+        # use the remapped ones (parser.js:288,295,319-322)
+        s_m = F.when(
+            T.is_blank_node("s"), T.deterministic_blank_node(F.col("s"), salt)
+        ).otherwise(F.col("s"))
+        o_m = F.when(
+            T.is_blank_node("o"), T.deterministic_blank_node(F.col("o"), salt)
+        ).otherwise(F.col("o"))
+    q = quads.withColumns({"parent": parent, "s_m": s_m, "o_m": o_m})
     # literal decode, done ONCE here (before the persist boundary) so the
     # term-kernel regexes appear in exactly one projection — downstream
     # operators see plain columns (codegen-size + recompute win)
-    q = q.withColumn("lit_value", T.literal_value("o"))
-    q = q.withColumn("lit_dtype", T.literal_datatype("o"))
-    q = q.withColumn("lit_lang", T.literal_lang("o"))
-    q = q.withColumn("num_str", T.js_number_string("lit_value"))
-    return q
+    q = q.withColumns(
+        {
+            "parent_id": T.id_from_resource("parent"),
+            "o_is_res": T.is_uri_or_blank_node("o"),
+            "subject_id": T.id_from_resource("s_m"),
+            "object_id": T.id_from_resource("o_m"),
+            "p_id": T.id_from_resource("p"),
+            "lit_value": T.literal_value("o"),
+            "lit_dtype": T.literal_datatype("o"),
+            "lit_lang": T.literal_lang("o"),
+        }
+    )
+    return q.withColumn("num_str", T.js_number_string("lit_value"))
 
 
 def collect_connectors(q: DataFrame, opts: ParseOptions) -> DataFrame:
@@ -424,29 +427,38 @@ def aggregate_properties_fused(
             F.min_by(rinfo_c, rstmt_c).alias("rinfo"),
         )
 
-    # struct sort = (prop, stmt_idx) lexicographic — statement order per prop
-    items = F.sort_array(F.col("items"))
-    keys = F.array_distinct(F.transform(items, lambda x: x["prop"]))
-
-    def vals_of(field: str, k: Column) -> Column:
-        vs = F.transform(
-            F.filter(items, lambda x: (x["prop"] == k) & x[field].isNotNull()),
-            lambda x: x[field],
+    # struct sort = (prop, stmt_idx) lexicographic — statement order per prop.
+    # The whole map assembly is ONE F.expr per output map: the nested
+    # transform/filter lambda builders were ~0.4 s of py4j round trips per
+    # parse_quads invocation (Python-side plan construction, guide §7.3);
+    # a SQL string parses in a single JVM call and produces the same
+    # expression tree (sort_array / key-distinct / per-key value collection
+    # duplicated exactly where the Column form duplicated it).
+    def vals_of(field: str) -> str:
+        vs = (
+            f"transform(filter(sort_array(items),"
+            f" x -> x.prop = k AND x.{field} IS NOT NULL), x -> x.{field})"
         )
         if opts.text_literal_as_node:
-            # setProperty overwrite: the data#Literal tag keeps the LAST value
-            lit_key = T.id_from_resource(F.lit(C.DATA_LITERAL_URI))
-            vs = F.when(k == lit_key, F.slice(vs, -1, 1)).otherwise(vs)
+            # setProperty overwrite: the data#Literal tag keeps the LAST
+            # value; the data#Literal id is its (non-hk) URI verbatim
+            vs = (
+                f"CASE WHEN k = '{C.DATA_LITERAL_URI}' THEN slice({vs}, -1, 1)"
+                f" ELSE {vs} END"
+            )
         return vs
 
     def map_of(field: str) -> Column:
-        entries = F.filter(
-            F.transform(
-                keys, lambda k: F.struct(k.alias("k"), vals_of(field, k).alias("v"))
-            ),
-            lambda e: F.size(e["v"]) > 0,
+        entries = (
+            "filter(transform("
+            "array_distinct(transform(sort_array(items), x -> x.prop)),"
+            f" k -> struct(k AS k, {vals_of(field)} AS v)),"
+            " e -> size(e.v) > 0)"
         )
-        return F.when(F.size(entries) > 0, F.map_from_entries(entries))
+        return F.expr(
+            f"CASE WHEN size({entries}) > 0"
+            f" THEN map_from_entries({entries}) END"
+        )
 
     return per_t.select(
         F.col("target_id").alias("id"),
@@ -808,26 +820,19 @@ def parse_quads(
             F.lit(opts.subject_label), F.lit(C.ROLE_SUBJECT),
             F.lit(opts.object_label), F.lit(C.ROLE_OBJECT),
         )
-        resolved = (
-            resolved.withColumn(
-                "roles",
-                F.when(F.col("type") == C.CONNECTOR, roles_map),
-            )
-            .withColumn("connector", F.lit(None).cast("string"))
-            .withColumn("ref", F.lit(None).cast("string"))
-            .withColumn(
-                "binds",
-                F.lit(None).cast(
+        resolved = resolved.withColumns(
+            {
+                "roles": F.when(F.col("type") == C.CONNECTOR, roles_map),
+                "connector": F.lit(None).cast("string"),
+                "ref": F.lit(None).cast("string"),
+                "binds": F.lit(None).cast(
                     "array<struct<role:string, comp:string, anchor:string>>"
                 ),
-            )
-            .withColumn(
-                "interfaces",
-                F.lit(None).cast(
+                "interfaces": F.lit(None).cast(
                     "map<string,struct<type:string, key:string,"
                     " properties:map<string,string>>>"
                 ),
-            )
+            }
         )
         directory = resolved.select("id", "type", "parent")
         lits_resolved = resolve_property_targets(uq, opts, directory)

@@ -53,6 +53,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", _default_driver_memory()))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Spark 4 DataFrame debugging wraps EVERY Python DataFrame/Column op
+        # with a call-site capture: a conf RPC + PySparkCurrentOrigin.set/
+        # clear RPCs + a sys._getframe walk per call. Our operators build
+        # plans from hundreds of ops, so this tripled Python-side plan-
+        # construction time (measured: ~1.2 s of a 2.6 s parse_quads build).
+        # It only enriches error messages with user line numbers — off.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)
