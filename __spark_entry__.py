@@ -586,6 +586,10 @@ def q_doc_jaccard(spark, sf_dir):
     # returning instead of pinning the largest doc-pipeline intermediate
     # for the rest of the driver session
     sh = dedup.word_shingles(_docs(spark, sf_dir), k=3).persist()
+    # materialize the cache before AQE submits the consumers' leaf stages
+    # concurrently — an unpopulated persist makes each of them re-explode
+    # the shingles instead of waiting (same fix as parse_quads' eager count)
+    sh.count()
     rare = (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("df"))

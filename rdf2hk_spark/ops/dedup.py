@@ -53,7 +53,8 @@ def _base_hash_pair(shingles: DataFrame) -> DataFrame:
     twice, so CollapseProject keeps it single-evaluated even in interpreted
     (no-subexpression-elimination) mode."""
     padded = F.concat(
-        F.regexp_replace(md5s(F.col("shingle")), "[a-f]", ""),
+        # translate == regexp_replace('[a-f]','') on hex input, regex-free
+        F.translate(md5s(F.col("shingle")), "abcdef", ""),
         F.lit("0" * 18),
     )
     return shingles.select("id", padded.alias("_ds")).select(

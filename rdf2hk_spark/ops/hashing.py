@@ -23,7 +23,10 @@ def md5_int(col: Column, digits: int = 6, offset: int = 0) -> Column:
     and ``digits``) give an (almost) independent integer pair for one md5
     evaluation — collision of the pair needs the full digit string to
     collide."""
-    ds = F.regexp_replace(md5s(col), "[a-f]", "")
+    # translate == regexp_replace('[a-f]', '') byte-for-byte on hex input,
+    # without the per-row regex engine (this runs once per shingle/row in
+    # every hash-derived operator — guide §1.2 per-task work)
+    ds = F.translate(md5s(col), "abcdef", "")
     return F.substring(
         F.concat(ds, F.lit("0" * (offset + digits))), offset + 1, digits
     ).cast("long")

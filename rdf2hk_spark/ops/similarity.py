@@ -359,6 +359,12 @@ def embedding_near_duplicates(
             )
         ).alias("tbl", "bucket"),
     )
+    # Materialize the signatures ONCE: b_all feeds the bucket sizing, the
+    # bucket join, and BOTH pair sides — without this the tables×planes×dim
+    # hyperplane folds (the expensive per-row work) re-ran up to 4×, and
+    # AQE's concurrent leaf stages cannot share an unmaterialized frame.
+    # The checkpoint holds only (id, tbl, bucket) — 3 narrow columns.
+    b_all = b_all.localCheckpoint(eager=True)
     sized = (
         b_all.groupBy("tbl", "bucket")
         .agg(F.count("*").alias("n"))

@@ -218,19 +218,24 @@ def tfidf_top_terms(
     from pyspark.sql.window import Window
 
     staged = _tokens_frame(df, id_col, text_col)
-    n_docs = staged.count()  # the corpus size N is a plan literal
+    # Corpus size N stays IN-PLAN: a 1-row count aggregate broadcast-joined
+    # onto the scored rows, instead of the previous staged.count() action
+    # that cost a whole extra pass over the token projection per call just
+    # to fetch one scalar into a plan literal (guide §5: the driver should
+    # do no data work; at 100 TB that pass is a full corpus scan).
+    n_df = staged.agg(F.count("*").cast("long").alias("_n"))
     tf = (
         staged.select("id", F.explode("toks").alias("term"))
         .groupBy("id", "term")
         .agg(F.count("*").cast("long").alias("tf"))
     )
     dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
-    scored = tf.join(dfreq, "term").select(
+    scored = tf.join(dfreq, "term").crossJoin(F.broadcast(n_df)).select(
         "id",
         "term",
         "tf",
         "df",
-        (F.col("tf") * F.floor(F.lit(n_docs * 1000) / F.col("df")))
+        (F.col("tf") * F.floor(F.col("_n") * 1000 / F.col("df")))
         .cast("long")
         .alias("score"),
     )

@@ -16,10 +16,12 @@ def _default_driver_memory() -> str:
 
     In local[N] the driver JVM IS the executor: N concurrent tasks share one
     heap, plus every persisted/localCheckpoint-ed block. An 8g heap on a
-    32-core host left execution memory starved — identical warm jobs varied
-    3× from GC thrash (measured: the web-pipeline parse at sf0.1 took 13.5 s
-    at 8g vs 4.2 s at 24g). Default to a quarter of host RAM clamped to
-    [8g, 24g]; any deployment that is not local-mode-on-one-box should set
+    32-core host left execution memory starved when cached frames were
+    columnar-compressed (identical warm parses varied 6.8–13.5 s from GC
+    thrash); 12g measured fastest clean-run bench totals, while very large
+    heaps (24g) produced multi-second GC/page-fault stalls on this
+    virtualized host. Default to a tenth of host RAM clamped to [8g, 12g];
+    any deployment that is not local-mode-on-one-box should set
     SPARK_DRIVER_MEMORY (and executor memory) explicitly — the env override
     wins unchanged."""
     try:
@@ -28,7 +30,7 @@ def _default_driver_memory() -> str:
         total_gb = page * phys / (1 << 30)
     except (ValueError, OSError, AttributeError):
         return "8g"
-    return f"{max(8, min(24, int(total_gb / 4)))}g"
+    return f"{max(8, min(12, int(total_gb / 10)))}g"
 
 
 def get_spark(
@@ -60,6 +62,14 @@ def get_spark(
         # construction time (measured: ~1.2 s of a 2.6 s parse_quads build).
         # It only enriches error messages with user line numbers — off.
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        # Columnar-cache compression (dictionary/RLE per string column) was
+        # measured at 13× the cost of COMPUTING the frame being cached: the
+        # web pipeline's 465k-row annotated-quads persist took 27 s to build
+        # compressed vs 2 s uncompressed, with equal downstream scan speed.
+        # Our cached frames are wide string frames where those encoders
+        # thrash; memory is the cheaper currency (MEMORY_AND_DISK spill
+        # still goes through spark.io.compression.codec on disk).
+        .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)
