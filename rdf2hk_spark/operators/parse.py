@@ -764,37 +764,24 @@ def parse_quads(
     opts = opts or ParseOptions()
     q = _with_parse_columns(quads, opts)
     if persist:
-        # The annotated quads feed ~15 downstream aggregations. Two regimes:
-        # - simple lineage (scans/pipeline stages): columnar persist — fast
-        #   (whole-stage codegen reads the in-memory columnar batches);
-        # - deep lineage (e.g. serialize→parse chains with dozens of union
-        #   branches): localCheckpoint, which truncates the logical plan —
-        #   otherwise every downstream query re-analyzes the whole tree and
-        #   Catalyst planning time blows up superlinearly (17 min observed).
-        # Discriminate by leaf count of the analyzed plan.
-        deep = False
-        try:
-            deep = (
-                quads._jdf.queryExecution().analyzed().collectLeaves().size() > 24
-            )
-        except Exception:
-            pass
-        if deep:
-            q = q.localCheckpoint(eager=True)
-        else:
-            from pyspark.storagelevel import StorageLevel
-
-            q = q.persist(StorageLevel.MEMORY_AND_DISK)
-            # Materialize the cache EAGERLY: AQE submits the downstream
-            # branches' leaf shuffle stages concurrently, and every stage
-            # that reaches an UNPOPULATED cache partition recomputes the
-            # full upstream pipeline instead of waiting (cache population
-            # is per-partition and non-blocking). Measured on the web
-            # pipeline at sf0.1: 14 concurrent leaf stages × ~10 s each,
-            # all duplicating the extract+quads derivation — one eager
-            # count() turns that into one materialization plus 14 in-memory
-            # cache scans (guide §2.4: remove redundant passes).
-            q.count()
+        # The annotated quads feed ~15 downstream aggregations. An EAGER
+        # localCheckpoint (not a lazy persist) for two measured reasons:
+        # - laziness: AQE submits the downstream branches' leaf shuffle
+        #   stages concurrently, and every stage that reaches an
+        #   UNPOPULATED cache recomputes the full upstream pipeline instead
+        #   of waiting (cache population is per-partition, non-blocking) —
+        #   measured 14 concurrent ~10 s stages on the web pipeline at
+        #   sf0.1, each duplicating the extract+quads derivation;
+        # - lineage: persist keeps the whole upstream tree in the logical
+        #   plan, so each of the ~15 consumers re-analyzes it (for deep
+        #   inputs — serialize→parse chains — Catalyst planning blew up
+        #   superlinearly, 17 min observed; for the web pipeline it was a
+        #   ~3 s per-build driver-side gap). The checkpoint truncates the
+        #   plan to a leaf. Blocks are MEMORY_AND_DISK; the fault-tolerance
+        #   trade (blocks die with the executor) is the standard
+        #   localCheckpoint contract and acceptable for an intra-query
+        #   intermediate.
+        q = q.localCheckpoint(eager=True)
 
     convert_hk = opts.convert_hk or opts.only_hk
     if convert_hk:
