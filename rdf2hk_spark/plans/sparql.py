@@ -1549,9 +1549,24 @@ def _reachable(edges: DataFrame, start: str, forward: bool) -> DataFrame:
     join + anti-join per hop, localCheckpoint truncating lineage so the plan
     stays linear in depth. Depth ≤ eccentricity, hard-bounded. → (n)."""
     spark = edges.sparkSession
+    return _reachable_from(
+        edges, spark.createDataFrame([(start,)], "n string"), forward
+    )
+
+
+def _reachable_from(
+    edges: DataFrame, seeds: DataFrame, forward: bool
+) -> DataFrame:
+    """Multi-seed frontier BFS: nodes reachable in ≥1 step from ANY seed
+    (``seeds``: one column ``n``, same type as the edge endpoints — plain
+    strings or composite (g, n) structs). With composite per-graph edges
+    (steps never cross graphs) per-seed attribution is implicit in the
+    struct's ``g`` field, which is what lets a ground endpoint under
+    ``GRAPH ?var`` seed one BFS across all graphs at once instead of
+    materializing the full per-graph closure."""
     a, b = ("src", "dst") if forward else ("dst", "src")
-    reached = spark.createDataFrame([], "n string")
-    frontier = spark.createDataFrame([(start,)], "n string")
+    reached = seeds.limit(0)
+    frontier = seeds
     prev_ckpts: list[DataFrame] = []
     for _ in range(PATH_MAX_ITERS):
         new = (
@@ -1636,10 +1651,11 @@ def _scan_path_g(
     closure (:func:`_closure_pairs`) IS the per-graph closure — one
     evaluation for ALL named graphs at once, no per-graph loop, no driver
     hop. Endpoints (and the graph variable) bind by decomposing the
-    structs; ground endpoints filter the closure afterward (the
-    directional-BFS fast path seeds from one constant and doesn't apply
-    across graphs — acceptable: ground endpoints under GRAPH ?var are
-    rare, and the closure is still bounded per graph).
+    structs. A GROUND endpoint takes the directional fast path: the BFS
+    seeds (g, ground) for every graph where the constant has a step
+    (:func:`_reachable_from` — per-graph attribution rides in the
+    struct's ``g``), so only reachable pairs materialize, never the full
+    per-graph closure.
 
     Zero-length semantics per graph: ``*``/``?`` with two variables match
     every term OF THAT GRAPH against itself; a ground endpoint admits
@@ -1663,7 +1679,31 @@ def _scan_path_g(
         .localCheckpoint(),
         "src", "dst",
     )
-    pairs = edges if op == "?" else _closure_pairs(edges)
+    if op != "?" and (s_var is None or o_var is None):
+        # ground endpoint: seeded directional BFS over composite keys —
+        # seeds are (g, ground) wherever the constant has a step in g;
+        # reattach the ground side so _bind_path_endpoints_g sees the same
+        # (src, dst) pair shape (and applies zero-length rules unchanged)
+        forward = s_var is None
+        ground = pat.s if forward else pat.o
+        end = "src" if forward else "dst"
+        seeds = (
+            edges.filter(F.col(end).getField("n") == ground)
+            .select(F.col(end).alias("n"))
+            .distinct()
+        )
+        reach = _reachable_from(edges, seeds, forward=forward)
+        g_of = F.col("n").getField("g")
+        if forward:
+            pairs = reach.select(
+                comp(g_of, F.lit(ground)).alias("src"), F.col("n").alias("dst")
+            )
+        else:
+            pairs = reach.select(
+                F.col("n").alias("src"), comp(g_of, F.lit(ground)).alias("dst")
+            )
+    else:
+        pairs = edges if op == "?" else _closure_pairs(edges)
     return _bind_path_endpoints_g(quads, pat, pairs, include_zero, graph_var)
 
 
@@ -2039,12 +2079,27 @@ def _minus(
     if not (slow_cols & set(shared)):
         return left.join(r, shared, "left_anti")
     rr = r.select(*[F.col(c).alias(f"_r_{c}") for c in shared])
+    # HASH-FIRST null-aware anti join: shared columns that can never be
+    # unbound (not in slow_cols) are written as plain equalities, which
+    # Catalyst extracts as hash-join KEYS; only the genuinely nullable
+    # residual keeps the null-compatible form. With at least one
+    # always-bound shared column this plans as a hash anti join with a
+    # residual filter instead of a BroadcastNestedLoopJoin of two
+    # arbitrarily large frames (the overlap disjunct is then implied:
+    # a matched pair co-binds that column). All-nullable shared domains
+    # keep the theta fallback — there is no key to hash on.
+    bound = [c for c in shared if c not in slow_cols]
     compat = F.lit(True)
-    overlap = F.lit(False)
+    for c in bound:
+        compat = compat & (F.col(c) == F.col(f"_r_{c}"))
+    overlap = F.lit(True) if bound else F.lit(False)
     for c in shared:
+        if c in bound:
+            continue
         lc, rc = F.col(c), F.col(f"_r_{c}")
         compat = compat & (lc.isNull() | rc.isNull() | (lc == rc))
-        overlap = overlap | (lc.isNotNull() & rc.isNotNull())
+        if not bound:
+            overlap = overlap | (lc.isNotNull() & rc.isNotNull())
     return left.join(rr, compat & overlap, "left_anti")
 
 
@@ -2067,19 +2122,33 @@ def _exists_join(
     if not (slow_cols & set(shared)):
         return left.join(r, shared, how)
     rr = r.select(*[F.col(c).alias(f"_r_{c}") for c in shared])
+    # hash-first (see _minus): always-bound shared columns become plain
+    # equalities = extractable hash keys; only nullable columns keep the
+    # null-matches-anything residual, so two large frames meet in a hash
+    # semi/anti join instead of a BroadcastNestedLoopJoin whenever at
+    # least one shared variable is provably always bound
+    bound = [c for c in shared if c not in slow_cols]
     cond = F.lit(True)
     for c in shared:
         lc, rc = F.col(c), F.col(f"_r_{c}")
-        cond = cond & (lc.isNull() | rc.isNull() | (lc == rc))
+        if c in bound:
+            cond = cond & (lc == rc)
+        else:
+            cond = cond & (lc.isNull() | rc.isNull() | (lc == rc))
     return left.join(rr, cond, how)
 
 
-def _compat_inner_join(frame: DataFrame, right: DataFrame) -> DataFrame:
+def _compat_inner_join(
+    frame: DataFrame, right: DataFrame, nullable_cols: set[str] = frozenset()
+) -> DataFrame:
     """Inner join under SPARQL join compatibility when a shared variable
     can be UNBOUND (null) on either side: null matches anything, and the
     merged binding keeps whichever side was bound (coalesce). Only used
     when nullability is actually possible — the always-bound case stays a
-    plain hash join on the shared columns."""
+    plain hash join on the shared columns. Shared columns NOT in
+    ``nullable_cols`` are written as plain equalities so Catalyst extracts
+    them as hash-join keys (see _minus) — the theta form survives only on
+    the genuinely nullable residual."""
     shared = [c for c in frame.columns if c in right.columns]
     new_cols = [c for c in right.columns if c not in shared]
     if not shared:
@@ -2089,7 +2158,10 @@ def _compat_inner_join(frame: DataFrame, right: DataFrame) -> DataFrame:
     cond = F.lit(True)
     for c in shared:
         lc, rc = F.col(c), F.col(f"_v_{c}")
-        cond = cond & (lc.isNull() | rc.isNull() | (lc == rc))
+        if c in nullable_cols:
+            cond = cond & (lc.isNull() | rc.isNull() | (lc == rc))
+        else:
+            cond = cond & (lc == rc)
     return frame.join(rv, cond, "inner").select(
         *[
             F.coalesce(F.col(c), F.col(f"_v_{c}")).alias(c)
@@ -2112,7 +2184,7 @@ def _join_compat(
         return sub
     shared = set(frame.columns) & set(sub.columns)
     if shared & nullable_cols:
-        return _compat_inner_join(frame, sub)
+        return _compat_inner_join(frame, sub, nullable_cols)
     return _join(frame, sub)
 
 

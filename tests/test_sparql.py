@@ -2043,3 +2043,125 @@ class TestExistsInBooleanExpr:
         )
         assert isinstance(q.where.items[-1], S.ExistsFilter)
         assert q.where.items[-1].positive is False
+
+
+class TestHashFirstNullAwareJoins:
+    """VERDICT r5 #4: when a shared variable CAN be unbound, the null-aware
+    MINUS/EXISTS/compat joins must still plan as HASH joins keyed on the
+    always-bound shared subset (equality conjuncts Catalyst can extract),
+    never as a BroadcastNestedLoopJoin of two large frames. The theta form
+    survives only when EVERY shared variable is nullable."""
+
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [("a", "1"), ("b", None), ("c", "3")], "k string, v string"
+        )
+        right = spark.createDataFrame(
+            [("a", "1"), ("b", "9"), ("d", None)], "k string, v string"
+        )
+        return left, right
+
+    def test_exists_one_nullable_var_uses_hash_join(self, spark):
+        from rdf2hk_spark.plans.sparql import _exists_join
+
+        left, right = self._frames(spark)
+        out = _exists_join(left, right, True, {"v"})
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        # a: (1,1) compatible; b: left v unbound matches any; c: no k match
+        assert sorted(r["k"] for r in out.collect()) == ["a", "b"]
+
+    def test_not_exists_one_nullable_var_uses_hash_join(self, spark):
+        from rdf2hk_spark.plans.sparql import _exists_join
+
+        left, right = self._frames(spark)
+        out = _exists_join(left, right, False, {"v"})
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert sorted(r["k"] for r in out.collect()) == ["c"]
+
+    def test_minus_one_nullable_var_uses_hash_join(self, spark):
+        from rdf2hk_spark.plans.sparql import _minus
+
+        left, right = self._frames(spark)
+        out = _minus(left, right, {"v"})
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        # minus-compatibility: k always co-bound -> overlap holds wherever
+        # k matches; a removed (agrees), b removed (v unbound on left
+        # agrees with any), c survives (no right k=c)
+        assert sorted(r["k"] for r in out.collect()) == ["c"]
+
+    def test_all_nullable_keeps_theta_fallback_and_semantics(self, spark):
+        from rdf2hk_spark.plans.sparql import _minus
+
+        left = spark.createDataFrame([("1",), (None,), ("3",)], "v string")
+        right = spark.createDataFrame([("1",), (None,)], "v string")
+        out = _minus(left, right, {"v"})
+        # §18.5: the all-unbound right solution overlaps nothing; only the
+        # co-bound v=1 row is removed; the null left row survives (never
+        # co-bound with any right solution)
+        assert sorted(r["v"] or "_" for r in out.collect()) == ["3", "_"]
+
+
+class TestGroundEndpointGraphVarSeededBfs:
+    """VERDICT r5 #5: a ground endpoint under GRAPH ?var must take the
+    seeded directional BFS over composite (g, n) keys — never materialize
+    the full per-graph closure (_closure_pairs)."""
+
+    @pytest.fixture(scope="class")
+    def pathg(self, spark):
+        rows = [
+            (0, "<a>", "<p>", "<b>", "<http://g/1>"),
+            (1, "<b>", "<p>", "<c>", "<http://g/1>"),
+            (2, "<a>", "<p>", "<d>", "<http://g/2>"),
+            (3, "<z>", "<p>", "<a>", "<http://g/2>"),
+            (4, "<n>", "<p>", "<m>", C.HK_NULL_URI),
+        ]
+        return spark.createDataFrame(rows, QUAD_SCHEMA).cache()
+
+    def test_ground_start_never_builds_full_closure(self, pathg, monkeypatch):
+        from rdf2hk_spark.plans import sparql as S
+
+        def boom(edges):
+            raise AssertionError("_closure_pairs called for ground endpoint")
+
+        monkeypatch.setattr(S, "_closure_pairs", boom)
+        out = run_sparql(
+            pathg, "SELECT ?g ?o WHERE { GRAPH ?g { <a> <p>+ ?o } }"
+        )
+        assert rows(out) == [
+            ("<http://g/1>", "<b>"),
+            ("<http://g/1>", "<c>"),
+            ("<http://g/2>", "<d>"),
+        ]
+
+    def test_ground_object_seeded_backward_bfs(self, pathg, monkeypatch):
+        from rdf2hk_spark.plans import sparql as S
+
+        monkeypatch.setattr(
+            S, "_closure_pairs",
+            lambda e: (_ for _ in ()).throw(AssertionError("full closure")),
+        )
+        out = run_sparql(
+            pathg, "SELECT ?g ?s WHERE { GRAPH ?g { ?s <p>+ <a> } }"
+        )
+        assert rows(out) == [("<http://g/2>", "<z>")]
+
+    def test_ground_zero_length_diagonal_survives(self, pathg, monkeypatch):
+        from rdf2hk_spark.plans import sparql as S
+
+        monkeypatch.setattr(
+            S, "_closure_pairs",
+            lambda e: (_ for _ in ()).throw(AssertionError("full closure")),
+        )
+        out = run_sparql(
+            pathg, "SELECT ?g ?o WHERE { GRAPH ?g { <a> <p>* ?o } }"
+        )
+        assert rows(out) == [
+            ("<http://g/1>", "<a>"),
+            ("<http://g/1>", "<b>"),
+            ("<http://g/1>", "<c>"),
+            ("<http://g/2>", "<a>"),
+            ("<http://g/2>", "<d>"),
+        ]
