@@ -70,6 +70,20 @@ def get_spark(
         # thrash; memory is the cheaper currency (MEMORY_AND_DISK spill
         # still goes through spark.io.compression.codec on disk).
         .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
+        # InferFiltersFromGenerate adds `size(arr)>0 AND isnotnull(arr)`
+        # below every explode; filter pushdown then inlines the ENTIRE
+        # array-building expression (for the text ops: the k-gram
+        # constructor, with the token split re-inlined per element_at)
+        # into a non-codegen Filter at the scan — each row paid the gram
+        # construction ~3x in interpreted mode. The filter is semantically
+        # redundant (explode drops empty/null arrays itself) and our
+        # explodes run in the same stage as the array construction, so
+        # skipping rows early saves nothing. Measured: decontaminate
+        # full-column materialization 17.8s -> 1.2s at sf0.1.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)
