@@ -338,10 +338,18 @@ def duplicate_clusters(
     e = pairs.select(F.col("a").cast("string"), F.col("b").cast("string"))
     # materialize the undirected edge list ONCE: every propagation round
     # joins it, and without this the whole upstream candidate-pair pipeline
-    # (at corpus scale: the full LSH derivation) would re-execute per round
-    und = e.unionByName(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint()
+    # (at corpus scale: the full LSH derivation) would re-execute per round.
+    # Hash-partition it by the neighbor key BEFORE the checkpoint: every
+    # round's neighborhood join probes on ``b``, so the edge list — the
+    # largest frame in the loop — is laid out for that join once instead
+    # of reshuffled per round (guide §2.4: share one exchange), and the
+    # union's doubled partition count collapses to the configured shuffle
+    # parallelism (half the per-round scan tasks at bench scale).
+    und = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .repartition("b")
+        .localCheckpoint()
+    )
     # shortlex ordering agrees with numeric order for digit strings — the
     # same survivor rule as exact_duplicates' numeric min for integer ids
     sl = lambda c: F.struct(F.length(c).alias("n"), c.alias("s"))
