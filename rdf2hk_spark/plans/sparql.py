@@ -1575,11 +1575,15 @@ def _reachable_from(
             .distinct()
             .join(reached, "n", "left_anti")
         )
-        if new.isEmpty():
+        # checkpoint BEFORE the emptiness probe: isEmpty() executes the
+        # step plan, and checkpointing afterwards re-executed it — one
+        # materialization now serves both (probe reads the cached blocks)
+        new_ck = new.localCheckpoint()
+        if new_ck.isEmpty():
+            new_ck.unpersist()
             for c in prev_ckpts[:-1]:  # keep the blocks `reached` returns
                 c.unpersist()
             return reached
-        new_ck = new.localCheckpoint()
         reached_ck = reached.unionByName(new_ck).localCheckpoint()
         for c in prev_ckpts:
             c.unpersist()
@@ -1610,11 +1614,14 @@ def _closure_pairs(edges: DataFrame) -> DataFrame:
             .distinct()
             .join(paths, ["src", "dst"], "left_anti")
         )
-        if step.isEmpty():
+        # checkpoint before probing (see _reachable_from): one execution
+        # serves both the convergence test and the next round's delta
+        step_ck = step.localCheckpoint()
+        if step_ck.isEmpty():
+            step_ck.unpersist()
             for c in prev_ckpts[:-1]:
                 c.unpersist()
             return paths
-        step_ck = step.localCheckpoint()
         paths_ck = paths.unionByName(step_ck).localCheckpoint()
         for c in prev_ckpts:
             c.unpersist()
