@@ -197,3 +197,47 @@ def test_tfidf_top_terms(spark):
     assert [r["term"] for r in d2] == ["banana", "cherry"]
     # every doc contributes exactly k rows (corpus bigger than k terms)
     assert all(len(v) == 2 for v in by_doc.values())
+
+
+def test_tfidf_builds_without_driver_action(spark, monkeypatch):
+    """r6 optimization guard: corpus size N is computed IN-PLAN (broadcast
+    scalar aggregate), so building the query must trigger no eager action
+    (the previous implementation ran staged.count() at build time — a whole
+    extra pass over the token projection per call)."""
+    from pyspark.sql import Row
+    from pyspark.sql import classic as _classic
+
+    from rdf2hk_spark.ops.textstats import tfidf_top_terms
+
+    df = spark.createDataFrame([Row(doc_id=1, text="a b a")])
+
+    def boom(self):
+        raise AssertionError("tfidf_top_terms ran an eager action at build")
+
+    monkeypatch.setattr(_classic.dataframe.DataFrame, "count", boom)
+    out = tfidf_top_terms(df, k=2)  # must not raise
+    monkeypatch.undo()
+    assert {(r["term"], r["score"]) for r in out.collect()} == {
+        ("a", 2000), ("b", 1000)
+    }
+
+
+def test_md5_int_translate_matches_python_twin(spark):
+    """r6 optimization guard: the translate()-based hex-letter strip in
+    md5_int must stay byte-identical to the Python twin (and so to the
+    regexp_replace-based DuckDB oracle fragment) for every digit window."""
+    from pyspark.sql import functions as F
+
+    from rdf2hk_spark.ops.hashing import md5_int, md5_int_py
+
+    samples = ["", "a", "Ana Silva", "héllo wörld", "x" * 100, "123", "_:b0"]
+    for digits, offset in ((6, 0), (9, 0), (9, 9), (15, 0), (3, 5)):
+        df = spark.createDataFrame([(s,) for s in samples], "s string")
+        got = {
+            r["s"]: r["h"]
+            for r in df.select(
+                "s", md5_int(F.col("s"), digits, offset).alias("h")
+            ).collect()
+        }
+        for s in samples:
+            assert got[s] == md5_int_py(s, digits, offset), (s, digits, offset)
