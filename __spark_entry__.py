@@ -590,16 +590,20 @@ def q_doc_jaccard(spark, sf_dir):
     # concurrently — an unpopulated persist makes each of them re-explode
     # the shingles instead of waiting (same fix as parse_quads' eager count)
     sh.count()
-    rare = (
+    # ONE shingle-keyed groupBy yields the doc-frequency cap AND the member
+    # list; candidate pairs then explode map-side (bounded by cap² per
+    # shingle, exactly the prior bound) — this replaces the old
+    # df-count groupBy + rare join + self-join, i.e. three shuffles of the
+    # exploded shingle frame become one (r6; measured 2.3 s → 1.3 s, pair
+    # set verified identical)
+    grp = (
         sh.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
+        .agg(F.count("*").alias("df"), F.collect_list("id").alias("ids"))
         .filter(F.col("df") <= _JACCARD_DF_CAP)
-        .select("shingle")
     )
-    shc = sh.join(rare, "shingle")
     pairs = (
-        shc.select(F.col("id").alias("a"), "shingle")
-        .join(shc.select(F.col("id").alias("b"), "shingle"), "shingle")
+        grp.select(F.explode("ids").alias("a"), "ids")
+        .select("a", F.explode("ids").alias("b"))
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b").agg(F.count("*").alias("inter"))
         .filter(F.col("inter") >= 5)
