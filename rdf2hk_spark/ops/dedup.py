@@ -280,7 +280,24 @@ def jaccard_pairs(
     shingles: DataFrame, candidates: DataFrame, min_intersection: int = 1
 ) -> DataFrame:
     """Exact shingle Jaccard for candidate pairs, as integer counts:
-    (a, b, inter, uni) — engine-exact, no floating point."""
+    (a, b, inter, uni) — engine-exact, no floating point.
+
+    The shingle frame is first SEMI-JOINED down to documents that appear in
+    some candidate pair: sizes and intersections only ever consume those
+    docs (all joins below are inner on candidate endpoints), so shuffling
+    the full corpus's shingles for them was pure waste — after LSH/df-cap
+    candidate generation the candidate-doc set is a small fraction of the
+    corpus (guide §3.2: reduce the big side before shuffling it)."""
+    # materialize the candidate pairs once: they feed the semi-join build
+    # side AND the intersection join — without this the (expensive)
+    # candidate-generation subtree executes twice
+    candidates = candidates.localCheckpoint(eager=True)
+    cand_docs = (
+        candidates.select(F.col("a").alias("id"))
+        .unionByName(candidates.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    shingles = shingles.join(cand_docs, "id", "left_semi")
     sizes = shingles.groupBy("id").agg(F.count("*").alias("sz"))
     sa = shingles.select(F.col("id").alias("a"), "shingle")
     sb = shingles.select(F.col("id").alias("b"), "shingle")
