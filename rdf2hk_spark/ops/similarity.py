@@ -365,16 +365,18 @@ def embedding_near_duplicates(
     # AQE's concurrent leaf stages cannot share an unmaterialized frame.
     # The checkpoint holds only (id, tbl, bucket) — 3 narrow columns.
     b_all = b_all.localCheckpoint(eager=True)
+    # one bucket-keyed groupBy yields the size cap AND the member list;
+    # candidate pairs explode map-side (≤ max_bucket² per bucket, the same
+    # bound as before) — replaces the sized-join + two-sided pair join,
+    # i.e. three bucket-keyed shuffles become one (r6, pair set identical)
     sized = (
         b_all.groupBy("tbl", "bucket")
-        .agg(F.count("*").alias("n"))
+        .agg(F.collect_list("id").alias("ids"), F.count("*").alias("n"))
         .filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
-        .select("tbl", "bucket")
     )
-    bb = b_all.join(sized, ["tbl", "bucket"])
     cand = (
-        bb.select("tbl", "bucket", F.col("id").alias("a"))
-        .join(bb.select("tbl", "bucket", F.col("id").alias("b")), ["tbl", "bucket"])
+        sized.select(F.explode("ids").alias("a"), "ids")
+        .select("a", F.explode("ids").alias("b"))
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
     )
