@@ -781,6 +781,14 @@ def parse_quads(
         #   trade (blocks die with the executor) is the standard
         #   localCheckpoint contract and acceptable for an intra-query
         #   intermediate.
+        # Populate any caller-persisted upstream cache FIRST: the checkpoint
+        # job's own leaf stages fan out concurrently under AQE, and each
+        # branch that reaches an unpopulated cache re-runs the cached
+        # subtree (the web pipeline's lazy ext.persist() measured 4
+        # concurrent full extract-UDF passes).
+        from rdf2hk_spark.session import materialize_pending_caches
+
+        materialize_pending_caches(quads)
         q = q.localCheckpoint(eager=True)
 
     convert_hk = opts.convert_hk or opts.only_hk

@@ -33,6 +33,45 @@ def _default_driver_memory() -> str:
     return f"{max(8, min(12, int(total_gb / 10)))}g"
 
 
+def materialize_pending_caches(df) -> int:
+    """Populate every un-materialized cache (InMemoryRelation) in ``df``'s
+    plan, sequentially, and return how many were populated.
+
+    AQE submits a plan's independent leaf shuffle stages CONCURRENTLY, and a
+    leaf stage that reaches an unpopulated cache recomputes the cached
+    subtree instead of waiting (cache population is per-partition and
+    non-blocking — tasks never block on a peer computing the same
+    partition). So a caller that persists an upstream frame lazily and then
+    fans out into N branches runs the cached pipeline up to N times — the
+    web pipeline's lazy ``ext.persist()`` feeding 4 extraction branches
+    measured 4 concurrent full runs of the extract UDF. Populating each
+    pending cache with one sequential pass first makes every branch a cache
+    read. Same total work as the lazy path ideally does, strictly less than
+    what it actually does under AQE.
+
+    Best-effort: reaches into the JVM plan (stable Spark 4 internals —
+    ``InMemoryRelation.cacheBuilder.isCachedColumnBuffersLoaded`` is the
+    same surface CacheManager uses); on any reflection surprise it returns
+    early and the caller's plan still computes correctly, just lazily."""
+    try:
+        spark = df.sparkSession
+        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+        done = 0
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if leaf.getClass().getSimpleName() != "InMemoryRelation":
+                continue
+            if leaf.cacheBuilder().isCachedColumnBuffersLoaded():
+                continue
+            spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+                spark._jsparkSession, leaf
+            ).count()
+            done += 1
+        return done
+    except Exception:
+        return 0
+
+
 def get_spark(
     app: str = "rdf2hk_spark",
     cpus: int | None = None,
