@@ -137,7 +137,7 @@ def context_closure(entities: DataFrame, root: str) -> DataFrame:
     )
     frontier = edges.sparkSession.createDataFrame([(root,)], "id string")
     seen = frontier
-    prev_ckpt = None
+    parts = [frontier]  # per-depth checkpointed frontiers
     for _ in range(64):  # hard depth bound
         nxt = (
             edges.join(
@@ -146,17 +146,20 @@ def context_closure(entities: DataFrame, root: str) -> DataFrame:
             .select("id")
             .join(seen, "id", "left_anti")
         )
-        if nxt.isEmpty():
+        # checkpoint ONCE per level and probe the cached blocks (before,
+        # isEmpty() executed the step plan and the seen∪nxt checkpoint
+        # re-executed it); ``seen`` stays a lazy union over the per-level
+        # checkpointed frontiers instead of a re-materialized union.
+        nxt_ck = nxt.localCheckpoint()
+        if nxt_ck.isEmpty():
+            nxt_ck.unpersist()
             break
-        # localCheckpoint materializes eagerly (contexts are tiny by
-        # construction), truncates lineage, and lets us release the previous
-        # iteration's blocks — no cached-RDD leak across deep hierarchies.
-        new_seen = seen.unionByName(nxt).localCheckpoint()
-        if prev_ckpt is not None:
-            prev_ckpt.unpersist()
-        prev_ckpt = new_seen
-        seen = new_seen
-        frontier = nxt
+        parts.append(nxt_ck)
+        acc = parts[0]
+        for p in parts[1:]:
+            acc = acc.unionByName(p)
+        seen = acc.select(F.col("id").alias("id"))
+        frontier = nxt_ck.select(F.col("id").alias("id"))
     edges.unpersist()
     return seen
 

@@ -1567,7 +1567,7 @@ def _reachable_from(
     a, b = ("src", "dst") if forward else ("dst", "src")
     reached = seeds.limit(0)
     frontier = seeds
-    prev_ckpts: list[DataFrame] = []
+    parts: list[DataFrame] = []  # per-round checkpointed deltas
     for _ in range(PATH_MAX_ITERS):
         new = (
             edges.join(frontier.select(F.col("n").alias(a)), a)
@@ -1575,20 +1575,21 @@ def _reachable_from(
             .distinct()
             .join(reached, "n", "left_anti")
         )
-        # checkpoint BEFORE the emptiness probe: isEmpty() executes the
-        # step plan, and checkpointing afterwards re-executed it — one
-        # materialization now serves both (probe reads the cached blocks)
+        # checkpoint BEFORE the emptiness probe (isEmpty then reads the
+        # cached blocks), and accumulate the result as a lazy union OVER
+        # the per-round checkpointed deltas — re-materializing reached∪delta
+        # each round was a job that copied every reached row per hop
+        # (O(n·depth) block writes over the loop; the lazy union scans the
+        # same cached blocks without rewriting them).
         new_ck = new.localCheckpoint()
         if new_ck.isEmpty():
             new_ck.unpersist()
-            for c in prev_ckpts[:-1]:  # keep the blocks `reached` returns
-                c.unpersist()
             return reached
-        reached_ck = reached.unionByName(new_ck).localCheckpoint()
-        for c in prev_ckpts:
-            c.unpersist()
-        prev_ckpts = [new_ck, reached_ck]
-        reached = _realias(reached_ck, "n")
+        parts.append(new_ck)
+        acc = parts[0]
+        for p in parts[1:]:
+            acc = acc.unionByName(p)
+        reached = _realias(acc, "n")
         frontier = _realias(new_ck, "n")
     raise PathDepthError(
         f"property-path closure did not converge within PATH_MAX_ITERS="
@@ -1603,9 +1604,9 @@ def _closure_pairs(edges: DataFrame) -> DataFrame:
     edge (delta join), so iteration k discovers exactly the distance-(k+1)
     pairs; localCheckpoint per round keeps the plan linear. ``edges`` is
     already checkpointed by the caller — no re-materialization here."""
-    paths = _realias(edges, "src", "dst")
+    parts: list[DataFrame] = [_realias(edges, "src", "dst")]
+    paths = parts[0]
     delta = paths
-    prev_ckpts: list[DataFrame] = []
     for _ in range(PATH_MAX_ITERS):
         step = (
             delta.select("src", F.col("dst").alias("_mid"))
@@ -1614,19 +1615,19 @@ def _closure_pairs(edges: DataFrame) -> DataFrame:
             .distinct()
             .join(paths, ["src", "dst"], "left_anti")
         )
-        # checkpoint before probing (see _reachable_from): one execution
-        # serves both the convergence test and the next round's delta
+        # checkpoint before probing, accumulate lazily (see
+        # _reachable_from): the pair set is a lazy union over the
+        # per-round deltas instead of a re-materialized paths∪delta
+        # checkpoint per round.
         step_ck = step.localCheckpoint()
         if step_ck.isEmpty():
             step_ck.unpersist()
-            for c in prev_ckpts[:-1]:
-                c.unpersist()
             return paths
-        paths_ck = paths.unionByName(step_ck).localCheckpoint()
-        for c in prev_ckpts:
-            c.unpersist()
-        prev_ckpts = [step_ck, paths_ck]
-        paths = _realias(paths_ck, "src", "dst")
+        parts.append(step_ck)
+        acc = parts[0]
+        for p in parts[1:]:
+            acc = acc.unionByName(p)
+        paths = _realias(acc, "src", "dst")
         delta = _realias(step_ck, "src", "dst")
     raise PathDepthError(
         f"property-path closure did not converge within PATH_MAX_ITERS="
