@@ -50,29 +50,44 @@ def detect_mentions(pages: DataFrame, catalog: DataFrame,
 
 def extract_relations(pages: DataFrame, catalog: DataFrame,
                       text_col: str = "extracted_text") -> DataFrame:
-    """(url, s_id, predicate, o_id, s_surface, o_surface) per matched pattern."""
-    branches = []
-    for (infix, predicate), (pattern, _) in zip(_INFIXES, _PATTERNS):
-        # ONE full-text regex pass per pattern (group 0), then split the
-        # short match on the fixed infix phrase — the NAME grammar admits no
-        # lowercase words, so the phrase occurs exactly once in a match.
-        # (Extracting groups 1 and 2 separately would scan the page twice.)
-        m = (
-            pages.select(
-                "url",
-                F.regexp_extract(F.col(text_col), pattern, 0).alias("m"),
+    """(url, s_id, predicate, o_id, s_surface, o_surface) per matched pattern.
+
+    All three patterns are evaluated in ONE projection over one corpus scan
+    (previously a 3-branch union, each branch re-scanning the corpus for
+    its own regexp_extract — 3 full passes; guide §2.4). Per pattern it is
+    still the first match (group 0), split on the fixed infix phrase — the
+    NAME grammar admits no lowercase words, so the phrase occurs exactly
+    once in a match, and extracting groups 1 and 2 separately would scan
+    the page twice. Row multiset identical to the union form."""
+    matches = pages.select(
+        "url",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.regexp_extract(F.col(text_col), pattern, 0).alias(
+                            "m"
+                        ),
+                        F.lit(infix).alias("infix"),
+                        F.lit(predicate).alias("predicate"),
+                    )
+                    for (infix, predicate), (pattern, _) in zip(
+                        _INFIXES, _PATTERNS
+                    )
+                ]
             )
-            .filter(F.col("m") != "")
-            .select(
-                "url",
-                F.split_part(F.col("m"), F.lit(infix), F.lit(1)).alias("s_surface"),
-                F.split_part(F.col("m"), F.lit(infix), F.lit(2)).alias("o_surface"),
-            )
-        )
-        branches.append(m.withColumn("predicate", F.lit(predicate)))
-    rels = branches[0]
-    for b in branches[1:]:
-        rels = rels.unionByName(b)
+        ).alias("x"),
+    ).filter(F.col("x.m") != "")
+    rels = matches.select(
+        "url",
+        F.split_part(F.col("x.m"), F.col("x.infix"), F.lit(1)).alias(
+            "s_surface"
+        ),
+        F.split_part(F.col("x.m"), F.col("x.infix"), F.lit(2)).alias(
+            "o_surface"
+        ),
+        F.col("x.predicate").alias("predicate"),
+    )
     s_cat = catalog.select(
         F.col("surface").alias("s_surface"), F.col("entity_id").alias("s_id")
     )
