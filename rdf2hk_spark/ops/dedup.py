@@ -233,14 +233,19 @@ def lsh_band_keys(
 
 
 def _pairs_from_keys(keys: DataFrame, max_bucket: int) -> DataFrame:
-    """Sized-bucket pairing shared by both LSH paths."""
+    """Sized-bucket pairing shared by both LSH paths: ONE bucket-keyed
+    groupBy yields the size cap and the member list, and pairs explode
+    MAP-SIDE from the list (nested explode of the same row — bounded by
+    max_bucket² per bucket, the same bound as before). The previous shape
+    exploded the members into two frames and re-joined them on the bucket
+    key — two more bucket-keyed exchanges per call for the identical pair
+    set. Only the final cross-band pair dedup shuffles."""
     sized = keys.groupBy("band", "bkey").agg(
         F.collect_list("id").alias("ids"), F.count("*").alias("n")
     ).filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
-    a = sized.select("band", "bkey", F.explode("ids").alias("a"))
-    b = sized.select("band", "bkey", F.explode("ids").alias("b"))
     return (
-        a.join(b, ["band", "bkey"])
+        sized.select(F.explode("ids").alias("a"), "ids")
+        .select("a", F.explode("ids").alias("b"))
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
