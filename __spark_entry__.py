@@ -590,16 +590,16 @@ def q_doc_jaccard(spark, sf_dir):
     # concurrently — an unpopulated persist makes each of them re-explode
     # the shingles instead of waiting (same fix as parse_quads' eager count)
     sh.count()
-    # ONE shingle-keyed groupBy yields the doc-frequency cap AND the member
-    # list; candidate pairs then explode map-side (bounded by cap² per
-    # shingle, exactly the prior bound) — this replaces the old
-    # df-count groupBy + rare join + self-join, i.e. three shuffles of the
-    # exploded shingle frame become one (r6; measured 2.3 s → 1.3 s, pair
-    # set verified identical)
-    grp = (
-        sh.groupBy("shingle")
-        .agg(F.count("*").alias("df"), F.collect_list("id").alias("ids"))
-        .filter(F.col("df") <= _JACCARD_DF_CAP)
+    # Shingle-keyed member lists; candidate pairs explode map-side (bounded
+    # by cap² per shingle, exactly the prior bound) — replaces the old
+    # df-count groupBy + rare join + self-join (r6; pair set verified
+    # identical). The lists come from the SKEW-BOUNDED salted aggregation
+    # (dedup.capped_member_lists): a boilerplate shingle with corpus-scale
+    # doc frequency never materializes its full membership in one reducer
+    # buffer before the df cap drops it. min_n=2 because singleton shingles
+    # cannot form a pair — they are dropped before the explode.
+    grp = dedup.capped_member_lists(
+        sh, ["shingle"], "id", cap=_JACCARD_DF_CAP, min_n=2
     )
     pairs = (
         grp.select(F.explode("ids").alias("a"), "ids")

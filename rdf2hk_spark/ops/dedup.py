@@ -232,6 +232,49 @@ def lsh_band_keys(
     )
 
 
+def capped_member_lists(
+    df: DataFrame,
+    keys: list[str],
+    id_col: str,
+    cap: int,
+    min_n: int = 2,
+    salt: int = 16,
+) -> DataFrame:
+    """(keys..., n, ids) per group with ``min_n <= n <= cap``, with
+    HARD-BOUNDED aggregation buffers under key skew.
+
+    A plain ``groupBy(keys).agg(collect_list(id))`` materializes a viral
+    key's FULL member list in one reducer buffer before the size filter can
+    drop it — at corpus scale a boilerplate shingle / flooded LSH bucket is
+    millions of ids in one aggregation buffer (sort-based fallback spills
+    rows, but the emitted array for one key must still fit in memory).
+    Two salted phases bound it: phase 1 aggregates per (keys, xxhash64(id)
+    mod salt) — each buffer holds only that salt slice — and phase 2 merges
+    the ≤``salt`` partials per key, slicing every partial to ``cap``+1
+    elements first, so a viral key's merge buffer holds at most
+    salt·(cap+1) ids instead of its full membership. Groups that survive
+    the filter are never truncated: n ≤ cap implies every partial list has
+    ≤ cap elements, below the slice. The salt key is DETERMINISTIC
+    (xxhash64 of the id, not rand()), so task retries re-produce the same
+    placement (SPARK-38388). ``n`` sums the un-sliced partial counts, so
+    the filter sees the true group size."""
+    p1 = df.groupBy(
+        *keys, F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt)).alias("_slt")
+    ).agg(
+        F.count("*").alias("_pn"), F.collect_list(id_col).alias("_pids")
+    )
+    return (
+        p1.groupBy(*keys)
+        .agg(
+            F.sum("_pn").alias("n"),
+            F.flatten(
+                F.collect_list(F.slice("_pids", 1, cap + 1))
+            ).alias("ids"),
+        )
+        .filter((F.col("n") >= min_n) & (F.col("n") <= cap))
+    )
+
+
 def _pairs_from_keys(keys: DataFrame, max_bucket: int) -> DataFrame:
     """Sized-bucket pairing shared by both LSH paths: ONE bucket-keyed
     groupBy yields the size cap and the member list, and pairs explode
@@ -239,10 +282,13 @@ def _pairs_from_keys(keys: DataFrame, max_bucket: int) -> DataFrame:
     max_bucket² per bucket, the same bound as before). The previous shape
     exploded the members into two frames and re-joined them on the bucket
     key — two more bucket-keyed exchanges per call for the identical pair
-    set. Only the final cross-band pair dedup shuffles."""
-    sized = keys.groupBy("band", "bkey").agg(
-        F.collect_list("id").alias("ids"), F.count("*").alias("n")
-    ).filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
+    set. Only the final cross-band pair dedup shuffles. Member lists come
+    from the skew-bounded salted aggregation (``capped_member_lists``), so
+    a flooded bucket never holds its full membership in one reducer
+    buffer."""
+    sized = capped_member_lists(
+        keys, ["band", "bkey"], "id", cap=max_bucket, min_n=2
+    )
     return (
         sized.select(F.explode("ids").alias("a"), "ids")
         .select("a", F.explode("ids").alias("b"))

@@ -365,14 +365,15 @@ def embedding_near_duplicates(
     # AQE's concurrent leaf stages cannot share an unmaterialized frame.
     # The checkpoint holds only (id, tbl, bucket) — 3 narrow columns.
     b_all = b_all.localCheckpoint(eager=True)
-    # one bucket-keyed groupBy yields the size cap AND the member list;
-    # candidate pairs explode map-side (≤ max_bucket² per bucket, the same
-    # bound as before) — replaces the sized-join + two-sided pair join,
-    # i.e. three bucket-keyed shuffles become one (r6, pair set identical)
-    sized = (
-        b_all.groupBy("tbl", "bucket")
-        .agg(F.collect_list("id").alias("ids"), F.count("*").alias("n"))
-        .filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
+    # bucket-keyed member lists with candidate pairs exploding map-side
+    # (≤ max_bucket² per bucket — replaces the sized-join + two-sided pair
+    # join, r6, pair set identical). The lists come from the SKEW-BOUNDED
+    # salted aggregation (dedup.capped_member_lists): a flooded bucket
+    # never materializes its full membership in one reducer buffer.
+    from rdf2hk_spark.ops.dedup import capped_member_lists
+
+    sized = capped_member_lists(
+        b_all, ["tbl", "bucket"], "id", cap=max_bucket, min_n=2
     )
     cand = (
         sized.select(F.explode("ids").alias("a"), "ids")

@@ -241,3 +241,60 @@ def test_md5_int_translate_matches_python_twin(spark):
         }
         for s in samples:
             assert got[s] == md5_int_py(s, digits, offset), (s, digits, offset)
+
+
+class TestCappedMemberLists:
+    """Focused tests for the skew-bounded salted member-list aggregation
+    (r6): identical group/pair results to a naive groupBy+collect_list,
+    with per-key buffers hard-bounded at salt*(cap+1)."""
+
+    def test_matches_naive_groupby(self, spark):
+        from pyspark.sql import functions as F
+
+        rows = (
+            # viral key: 12 members, far over cap -> dropped
+            [("hot", f"d{i}") for i in range(12)]
+            # surviving keys: must come back COMPLETE (no truncation)
+            + [("k3", "a"), ("k3", "b"), ("k3", "c")]
+            + [("k2", "x"), ("k2", "y")]
+            # singleton: below min_n
+            + [("k1", "solo")]
+        )
+        df = spark.createDataFrame(rows, "bkey string, id string")
+        out = {
+            r["bkey"]: (r["n"], sorted(r["ids"]))
+            for r in dedup.capped_member_lists(
+                df, ["bkey"], "id", cap=5, min_n=2, salt=4
+            ).collect()
+        }
+        assert set(out) == {"k3", "k2"}
+        assert out["k3"] == (3, ["a", "b", "c"])
+        assert out["k2"] == (2, ["x", "y"])
+
+    def test_true_size_seen_by_filter_despite_partial_slicing(self, spark):
+        # a key whose every salt-partial is under cap+1 but whose TOTAL is
+        # over cap must still be dropped: n sums the un-sliced counts
+        rows = [("k", f"d{i}") for i in range(7)]
+        df = spark.createDataFrame(rows, "bkey string, id string")
+        out = dedup.capped_member_lists(
+            df, ["bkey"], "id", cap=6, min_n=2, salt=16
+        ).collect()
+        assert out == []
+
+    def test_pairs_from_keys_unchanged_under_skew(self, spark):
+        from pyspark.sql import functions as F
+
+        # band keys with one flooded bucket (skipped) and two shared ones
+        rows = (
+            [(0, "flood", f"d{i}") for i in range(60)]
+            + [(0, "b1", "a"), (0, "b1", "b"), (0, "b1", "c")]
+            + [(1, "b2", "a"), (1, "b2", "b")]
+        )
+        keys = spark.createDataFrame(rows, "band int, bkey string, id string")
+        got = sorted(
+            (r["a"], r["b"])
+            for r in dedup.lsh_candidate_pairs_from_keys(
+                keys, max_bucket=50
+            ).collect()
+        )
+        assert got == [("a", "b"), ("a", "c"), ("b", "c")]
