@@ -89,6 +89,22 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE coalesces post-shuffle partitions by BYTES; with tiny shuffle
+        # payloads the 1m minPartitionSize floor binds and compute-dense
+        # reducers (entity assembly: md5 mint + map aggregation over ~1-3 MB
+        # of shuffle bytes) collapse to 2-3 tasks on a 32-core host. Paired
+        # A/B at three settings (3 alternating bench pairs each): 64k wins
+        # the parse-path queries (kg_properties 6.4->4.2 median) but loses
+        # the array-heavy pair aggregations (doc_jaccard 3.4->5.1) to task
+        # overhead; 256k keeps the parse gains (kg_properties 4.3-4.4)
+        # without the array-agg losses and gave the best flagship-pipeline
+        # times of the session. Only shuffles under ~256k/partition-target
+        # are affected — at production scale per-reducer bytes dwarf either
+        # floor, so the decision there is unchanged (scale-adaptive, not a
+        # local constant: it is a FLOOR, not a partition count).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k"
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", _default_driver_memory()))
